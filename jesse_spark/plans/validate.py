@@ -1,0 +1,132 @@
+"""Execute a compiled constraint plan over a DataFrame.
+
+One projection evaluates every row-level check (whole-stage codegen, no
+shuffle); violations are collected per row as an
+``array<struct<constraint,path,observed>>`` and exploded into violation
+rows ``(key, constraint, path, observed)`` — the engine's rendering of
+jesse's ``{data_invalid, Schema, ErrorType, Value, Path}`` error tuples
+(jesse_error.erl:39-48, 85-92).
+
+Error-accumulation policy is jesse's ``allowed_errors`` / error_handler
+option (jesse.erl:61-66, jesse_error.erl:71-78):
+
+- ``collect`` (allowed_errors = infinity) → all violations per row;
+- ``fail_fast`` (allowed_errors = 0) → the conjunction of all predicates
+  only; Spark short-circuits ANDs in codegen, so invalid rows stop
+  evaluating early just like jesse's throw.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jesse_spark.compiler import Check, compile_checks
+from jesse_spark.schema.parser import SchemaRegistry
+
+
+def _instance_col(df: DataFrame) -> Column:
+    # the whole row as a struct — Catalyst's SimplifyExtractValueOps
+    # rewrites GetStructField(CreateNamedStruct(...)) back to the bare
+    # attribute, so this costs nothing at runtime
+    return F.struct(*[F.col(c) for c in df.columns])
+
+
+def with_violations(
+    df: DataFrame,
+    checks: Sequence[Check],
+    instance: Column | None = None,
+    *,
+    violations_col: str = "violations",
+    valid_col: str = "valid",
+) -> DataFrame:
+    """Add ``violations: array<struct>`` + ``valid: boolean`` in ONE
+    projection (single codegen stage, zero shuffles)."""
+    col = _instance_col(df) if instance is None else instance
+    structs = [
+        F.when(
+            ~F.coalesce(c.pred(col), F.lit(False)),
+            F.struct(
+                F.lit(c.constraint).alias("constraint"),
+                F.lit(c.path).alias("path"),
+                F.coalesce(c.observed(col).cast("string"), F.lit("null")).alias("observed"),
+            ),
+        )
+        for c in checks
+    ]
+    out = df.withColumn(violations_col, F.array_compact(F.array(*structs)))
+    return out.withColumn(valid_col, F.size(violations_col) == 0)
+
+
+def fail_fast_pred(checks: Sequence[Check], instance: Column) -> Column:
+    """allowed_errors=0 mode: a single short-circuiting conjunction."""
+    pred = F.lit(True)
+    for c in checks:
+        pred = pred & F.coalesce(c.pred(instance), F.lit(False))
+    return pred
+
+
+def violation_rows(
+    validated: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    violations_col: str = "violations",
+) -> DataFrame:
+    """Explode per-row violation arrays into jesse-style error rows."""
+    v = F.explode(F.col(violations_col)).alias("v")
+    return (
+        validated.filter(F.size(violations_col) > 0)
+        .select(*key_cols, v)
+        .select(
+            *key_cols,
+            F.col("v.constraint").alias("constraint"),
+            F.col("v.path").alias("path"),
+            F.col("v.observed").alias("observed"),
+        )
+    )
+
+
+def partition_verdicts(validated: DataFrame, *, valid_col: str = "valid") -> DataFrame:
+    """Per-partition pass/fail + counts (north_rule: per-partition
+    verdicts).  Partial aggregation happens map-side; the shuffle moves
+    one row per partition."""
+    return (
+        validated.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col(valid_col)).cast("long")).alias("invalid_rows"),
+        )
+        .withColumn("passed", F.col("invalid_rows") == 0)
+    )
+
+
+@dataclass
+class ValidationResult:
+    validated: DataFrame      # input + violations + valid
+    violations: DataFrame     # (key..., constraint, path, observed)
+    verdicts: DataFrame       # (partition_id, rows, invalid_rows, passed)
+    checks: list[Check]
+
+
+def validate(
+    df: DataFrame,
+    schema: Any,
+    key_cols: Sequence[str],
+    *,
+    registry: SchemaRegistry | None = None,
+    draft: int | None = None,
+) -> ValidationResult:
+    """Compile ``schema`` against ``df``'s static schema and build the
+    full lazy validation plan (nothing executes until an action)."""
+    checks = compile_checks(schema, df.schema, registry=registry, draft=draft,
+                            null_is_absent=True)
+    validated = with_violations(df, checks)
+    return ValidationResult(
+        validated=validated,
+        violations=violation_rows(validated, key_cols),
+        verdicts=partition_verdicts(validated),
+        checks=list(checks),
+    )

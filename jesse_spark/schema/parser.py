@@ -1,0 +1,175 @@
+"""JSON-Schema parsing, draft dispatch, canonicalization, $ref resolution.
+
+Mirrors the reference's driver-side schema machinery:
+
+- draft dispatch on the ``$schema`` URI with draft6 as the default
+  (jesse_schema_validator.erl:82-98; default at
+  jesse_schema_validator.hrl:99);
+- boolean-schema canonicalization ``true -> {}``, ``false -> {"not": {}}``
+  (jesse_validator_draft6.erl:1206-1211);
+- ``$ref`` hoisting: when a schema contains ``$ref`` the sibling
+  keywords are suppressed (jesse_state.erl:176-196,
+  jesse_validator_draft4.erl:86-87);
+- schema registry keyed by ``$id`` / ``id`` — the in-memory analog of
+  jesse's ETS store (jesse_database.erl:60-177), but plan compilation
+  happens once on the driver so a plain dict suffices;
+- JSON-Pointer resolution incl. ~0/~1 unescaping
+  (jesse_json_path.erl:38-42, 301-327).
+
+Everything here is pure Python: schemas are compiled on the driver
+before any Spark job is launched.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+from pathlib import Path
+from typing import Any
+
+from jesse_spark.errors import SchemaError
+
+DRAFT3 = 3
+DRAFT4 = 4
+DRAFT6 = 6
+
+# jesse_schema_validator.hrl:96-98
+_DRAFT_URIS = {
+    "http://json-schema.org/draft-03/schema": DRAFT3,
+    "http://json-schema.org/draft-04/schema": DRAFT4,
+    "http://json-schema.org/draft-06/schema": DRAFT6,
+}
+DEFAULT_DRAFT = DRAFT6  # jesse_schema_validator.hrl:99
+
+
+def detect_draft(schema: Any, default: int = DEFAULT_DRAFT) -> int:
+    """Dispatch on $schema like jesse_schema_validator.erl:82-98."""
+    if isinstance(schema, dict):
+        uri = schema.get("$schema")
+        if isinstance(uri, str):
+            base = uri.split("#", 1)[0].rstrip("/")
+            if base in _DRAFT_URIS:
+                return _DRAFT_URIS[base]
+            raise SchemaError("schema_unsupported", uri)
+    return default
+
+
+def normalize_schema(schema: Any, draft: int) -> dict:
+    """Canonicalize a schema node to a dict.
+
+    Boolean schemas (draft6 only): true ≡ {} and false ≡ {"not": {}}
+    (jesse_validator_draft6.erl:1206-1211, entered at :285-291).
+    """
+    if isinstance(schema, bool):
+        if draft < DRAFT6:
+            raise SchemaError("schema_invalid", schema)
+        return {} if schema else {"not": {}}
+    if isinstance(schema, dict):
+        return schema
+    raise SchemaError("schema_invalid", schema)
+
+
+def _unescape_pointer_token(tok: str) -> str:
+    # jesse_json_path.erl:38-42 — %XX then ~1 then ~0
+    tok = urllib.parse.unquote(tok)
+    return tok.replace("~1", "/").replace("~0", "~")
+
+
+def resolve_pointer(doc: Any, pointer: str) -> Any:
+    """Walk a JSON Pointer (RFC 6901) inside a schema document.
+
+    Mirrors jesse_state.erl:262-303 (load_local_schema).
+    """
+    if pointer in ("", "#"):
+        return doc
+    if pointer.startswith("#"):
+        pointer = pointer[1:]
+    node = doc
+    for raw in [t for t in pointer.split("/") if t != ""]:
+        tok = _unescape_pointer_token(raw)
+        if isinstance(node, dict):
+            if tok not in node:
+                raise SchemaError("schema_not_found", pointer)
+            node = node[tok]
+        elif isinstance(node, list):
+            try:
+                node = node[int(tok)]
+            except (ValueError, IndexError):
+                raise SchemaError("schema_not_found", pointer)
+        else:
+            raise SchemaError("schema_not_found", pointer)
+    return node
+
+
+class SchemaRegistry:
+    """Driver-side schema store — the analog of jesse's ETS database
+    (jesse_database.erl:60-177) minus network loaders (schemas ship
+    with the job; remote http(s) $refs are out of scope by design).
+
+    Keyed by canonical ``$id`` (draft6) / ``id`` (draft3/4), like
+    jesse_database:load/1 (jesse_database.erl:109-125).
+    """
+
+    def __init__(self) -> None:
+        self._by_id: dict[str, Any] = {}
+
+    @staticmethod
+    def _id_of(schema: Any, draft: int) -> str | None:
+        if not isinstance(schema, dict):
+            return None
+        # draft4 rejects "$id", draft6 rejects "id"
+        # (jesse_validator_draft4.erl:84-85 / _draft6.erl:86-87)
+        key = "$id" if draft >= DRAFT6 else "id"
+        wrong = "id" if draft >= DRAFT6 else "$id"
+        if wrong in schema and key not in schema:
+            raise SchemaError(
+                "wrong_draft%d_id_tag" % (6 if draft >= DRAFT6 else 4), schema.get(wrong)
+            )
+        v = schema.get(key)
+        return v.rstrip("#") if isinstance(v, str) else None
+
+    def add(self, schema: Any, *, uri: str | None = None, draft: int | None = None) -> str:
+        draft = detect_draft(schema) if draft is None else draft
+        sid = self._id_of(schema, draft) or uri
+        if sid is None:
+            raise SchemaError("schema_invalid", "schema has no $id/id and no uri given")
+        self._by_id[sid] = schema
+        return sid
+
+    def add_file(self, path: str | Path) -> str:
+        p = Path(path)
+        schema = json.loads(p.read_text())
+        # synthetic file:// id if absent, like jesse_cli.erl:99-123
+        return self.add(schema, uri=f"file://{p.resolve()}")
+
+    def add_dir(self, path: str | Path) -> list[str]:
+        """Recursive directory load (jesse_database.erl:96-103, 251-302)."""
+        return [self.add_file(p) for p in sorted(Path(path).rglob("*.json"))]
+
+    def load(self, key: str) -> Any:
+        key = key.rstrip("#")
+        if key not in self._by_id:
+            raise SchemaError("schema_not_found", key)
+        return self._by_id[key]
+
+    def resolve_ref(self, ref: str, root: Any) -> Any:
+        """Resolve a $ref against the current root document or the store.
+
+        Local refs (``#/definitions/x``) walk the root document; id refs
+        hit the store (jesse_state.erl:206-259).
+        """
+        if ref.startswith("#") or ref == "":
+            return resolve_pointer(root, ref)
+        base, _, frag = ref.partition("#")
+        doc = self.load(base)
+        return resolve_pointer(doc, "#" + frag) if frag else doc
+
+
+def hoist_ref(schema: dict) -> dict:
+    """$ref short-circuits sibling keywords (except definitions stay
+    addressable) — jesse rewrites the attr list so $ref comes first and
+    validation stops after it (jesse_state.erl:176-196).  We model the
+    same by *dropping* sibling keywords at compile time."""
+    if "$ref" in schema and len(schema) > 1:
+        return {"$ref": schema["$ref"]}
+    return schema
