@@ -1,0 +1,234 @@
+"""Audio payload checks — the engine's ``external_validator`` slot.
+
+The reference exposes a user hook invoked after all keyword checks on
+every node (jesse.erl:71-72, jesse_validator_draft4.erl:1356-1362); our
+instantiation (north_star) is the audio invariant: decode ``bytes`` per
+``codec`` to PCM, assert SNR ≥ 30 dB against a deterministic reference
+synthesis keyed by ``clip_id``, and assert transcript string equality.
+
+Everything crosses the JVM↔Python boundary as Arrow batches
+(``pandas_udf`` / ``mapInPandas``) — no per-row Python UDFs, per the
+input_hint mandate.  Inside a batch the codec transforms are bit-exact
+vectorized numpy implementations of G.711 µ-law / A-law (public ITU-T
+G.711 segment tables) and raw little-endian PCM16.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SNR_THRESHOLD_DB = 30.0
+CODECS = ("pcm_s16le", "ulaw", "alaw")
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law — bit-exact segment encoding, vectorized
+# ---------------------------------------------------------------------------
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(u: np.ndarray) -> np.ndarray:
+    c = (~u.astype(np.int32)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law
+# ---------------------------------------------------------------------------
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    x = pcm.astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(x), 32767)
+    safe = np.maximum(mag, 1)
+    seg = np.maximum(np.floor(np.log2(safe)).astype(np.int32) - 7, 0)
+    low = mag >> 4                        # segment 0: linear
+    high = (seg << 4) | ((mag >> (seg + 3)) & 0x0F)
+    aval = np.where(mag < 256, low, high)
+    return ((aval | sign) ^ 0x55).astype(np.uint8)
+
+
+def alaw_decode(a: np.ndarray) -> np.ndarray:
+    c = a.astype(np.int32) ^ 0x55
+    sign = c & 0x80
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = np.where(seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (seg - 1))
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# PCM16 (raw little-endian)
+# ---------------------------------------------------------------------------
+def pcm16_encode(pcm: np.ndarray) -> bytes:
+    return pcm.astype("<i2").tobytes()
+
+
+def pcm16_decode(raw: bytes) -> np.ndarray:
+    n = len(raw) // 2 * 2
+    return np.frombuffer(raw[:n], dtype="<i2")
+
+
+def encode(pcm: np.ndarray, codec: str) -> bytes:
+    if codec == "pcm_s16le":
+        return pcm16_encode(pcm)
+    if codec == "ulaw":
+        return ulaw_encode(pcm).tobytes()
+    if codec == "alaw":
+        return alaw_encode(pcm).tobytes()
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decode(raw: bytes, codec: str) -> np.ndarray:
+    if codec == "pcm_s16le":
+        return pcm16_decode(raw)
+    if codec == "ulaw":
+        return ulaw_decode(np.frombuffer(raw, dtype=np.uint8))
+    if codec == "alaw":
+        return alaw_decode(np.frombuffer(raw, dtype=np.uint8))
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+# ---------------------------------------------------------------------------
+# deterministic reference synthesis (FIXTURES.md §1: 1-3 sine tones with
+# parameters drawn from rng keyed by clip_id, fixed master seed 42)
+# ---------------------------------------------------------------------------
+MASTER_SEED = 42
+_VOCAB = (
+    "the quick brown fox jumps over lazy dog a and to of in is it you "
+    "that he was for on are with as his they at be this have from or one "
+    "had by word but not what all were we when your can said there use an "
+    "each which she do how их их же föhn naïve über 声音 数据 тест слово"
+).split()
+
+
+def _id_seed(clip_id: str, stream: int) -> np.random.Generator:
+    h = int.from_bytes(hashlib.md5(clip_id.encode()).digest()[:8], "little")
+    return np.random.default_rng([MASTER_SEED, h, stream])
+
+
+def synth_pcm(clip_id: str, sr_hz: int, n_samples: int) -> np.ndarray:
+    """Reference waveform: sum of 1-3 sine tones, params keyed ONLY by
+    clip_id (stream 1) so any consumer can re-derive it."""
+    rng = _id_seed(clip_id, 1)
+    n_tones = int(rng.integers(1, 4))
+    freqs = rng.uniform(100.0, min(3500.0, sr_hz / 2 * 0.9), size=n_tones)
+    phases = rng.uniform(0, 2 * np.pi, size=n_tones)
+    amps = rng.uniform(0.2, 0.9, size=n_tones)
+    amps = amps / amps.sum() * 0.8
+    t = np.arange(n_samples, dtype=np.float64) / sr_hz
+    x = np.zeros(n_samples, dtype=np.float64)
+    for f, p, a in zip(freqs, phases, amps):
+        x += a * np.sin(2 * np.pi * f * t + p)
+    return np.round(x * 32767.0).astype(np.int16)
+
+
+def reference_transcript(clip_id: str) -> str:
+    """Deterministic token sequence from a small vocabulary (stream 2),
+    1-200 chars incl. non-Latin-1 code points (FIXTURES.md §1)."""
+    rng = _id_seed(clip_id, 2)
+    n = int(rng.integers(1, 31))
+    words = [_VOCAB[int(k)] for k in rng.integers(0, len(_VOCAB), size=n)]
+    return " ".join(words)[:200].strip()
+
+
+def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
+    n = min(len(ref), len(dec))
+    if n == 0:
+        return -np.inf
+    r = ref[:n].astype(np.float64)
+    d = dec[:n].astype(np.float64)
+    sig = float(np.sum(r * r))
+    noise = float(np.sum((r - d) * (r - d)))
+    if len(ref) != len(dec):
+        return -np.inf  # truncation is corruption
+    if noise == 0.0:
+        return 120.0
+    if sig == 0.0:
+        return -np.inf
+    return 10.0 * np.log10(sig / noise)
+
+
+# ---------------------------------------------------------------------------
+# the Arrow-batched verification stage
+# ---------------------------------------------------------------------------
+AUDIO_CHECK_SCHEMA = T.StructType([
+    T.StructField("snr_db", T.DoubleType()),
+    T.StructField("audio_ok", T.BooleanType()),
+    T.StructField("transcript_ok", T.BooleanType()),
+])
+
+
+def _verify_batch(clip_id: pd.Series, raw: pd.Series, codec: pd.Series,
+                  sr_hz: pd.Series, transcript: pd.Series) -> pd.DataFrame:
+    n = len(clip_id)
+    snrs = np.full(n, -np.inf)
+    t_ok = np.zeros(n, dtype=bool)
+    cid = clip_id.to_numpy()
+    cod = codec.to_numpy()
+    sr = sr_hz.to_numpy()
+    tr = transcript.to_numpy(dtype=object)
+    rw = raw.to_numpy(dtype=object)
+    for i in range(n):  # per-clip numpy work inside one Arrow batch
+        try:
+            dec = decode(rw[i], cod[i])
+            ref = synth_pcm(cid[i], int(sr[i]), len(dec))
+            snrs[i] = snr_db(ref, dec)
+        except Exception:
+            snrs[i] = -np.inf
+        t_ok[i] = (tr[i] is not None
+                   and tr[i] == reference_transcript(cid[i]))
+    return pd.DataFrame({
+        "snr_db": np.where(np.isfinite(snrs), snrs, -999.0),
+        "audio_ok": snrs >= SNR_THRESHOLD_DB,
+        "transcript_ok": t_ok,
+    })
+
+
+audio_verify = F.pandas_udf(_verify_batch, returnType=AUDIO_CHECK_SCHEMA)
+
+
+def with_audio_checks(df, *, clip_id="clip_id", bytes_col="bytes",
+                      codec="codec", sr_hz="sr_hz", transcript="transcript"):
+    """Attach the payload-check struct; column-pruning keeps ``bytes``
+    out of every other stage (only this projection reads it)."""
+    return df.withColumn(
+        "audio_check",
+        audio_verify(F.col(clip_id), F.col(bytes_col), F.col(codec),
+                     F.col(sr_hz), F.col(transcript)),
+    )
+
+
+def audio_violations(checked, key_cols=("clip_id",)):
+    """external-check violations in jesse's error-row shape
+    (constraint code 'external' — jesse_schema_validator.hrl:149)."""
+    bad_audio = checked.filter(~F.col("audio_check.audio_ok")).select(
+        *key_cols,
+        F.lit("external").alias("constraint"),
+        F.lit("/bytes").alias("path"),
+        F.concat(F.lit("snr_db="), F.col("audio_check.snr_db").cast("string")).alias("observed"),
+    )
+    bad_tr = checked.filter(~F.col("audio_check.transcript_ok")).select(
+        *key_cols,
+        F.lit("external").alias("constraint"),
+        F.lit("/transcript").alias("path"),
+        F.coalesce(F.col("transcript"), F.lit("null")).alias("observed"),
+    )
+    return bad_audio.unionByName(bad_tr)

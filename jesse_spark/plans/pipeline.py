@@ -1,0 +1,77 @@
+"""The flagship end-to-end validation pipeline over the clips table.
+
+Stage layout (north_star / SURVEY.md §3 engine lifecycle):
+
+1. row-level keyword suite — ONE codegen projection (no shuffle);
+2. audio payload stage — Arrow pandas UDF, run ONLY on rows that passed
+   the row suite (jesse's fail-fast external_validator ordering:
+   keyword errors throw before the external hook runs,
+   jesse_validator_draft4.erl:257-258 with allowed_errors=0), and only
+   this stage reads `bytes` (column pruning keeps it out of the scan
+   for every other stage);
+3. uniqueness — two-phase approx→exact on clip_id;
+4. referential integrity — broadcast anti join on codec;
+5. violations = union of all stages in jesse's error-row shape;
+6. per-partition verdicts + optional checkpoint manifests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jesse_spark.compiler import compile_checks
+from jesse_spark.functions.audio import audio_violations, with_audio_checks
+from jesse_spark.operators.integrity import ri_violation_rows
+from jesse_spark.operators.uniqueness import uniqueness_violations
+from jesse_spark.plans.validate import (
+    partition_verdicts,
+    violation_rows,
+    with_violations,
+)
+from jesse_spark.sources.fixtures import CLIPS_CONSTRAINT_SCHEMA
+
+
+@dataclass
+class SuiteResult:
+    validated: DataFrame       # clips + violations array + valid flag
+    violations: DataFrame      # union: row ∪ audio ∪ uniqueness ∪ RI
+    verdicts: DataFrame        # per-partition pass/fail
+
+
+VIOLATION_COLS = ("clip_id", "constraint", "path", "observed")
+
+
+def run_full_suite(
+    clips: DataFrame,
+    codecs: DataFrame,
+    *,
+    schema: dict | None = None,
+    with_audio: bool = True,
+) -> SuiteResult:
+    schema = schema or CLIPS_CONSTRAINT_SCHEMA
+    checks = compile_checks(schema, clips.schema, null_is_absent=True)
+    validated = with_violations(clips, checks)
+
+    row_v = violation_rows(validated, ["clip_id"])
+
+    parts = [row_v.select(*VIOLATION_COLS)]
+    if with_audio:
+        passing = validated.filter(F.col("valid")).select(
+            "clip_id", "bytes", "codec", "sr_hz", "transcript")
+        checked = with_audio_checks(passing)
+        parts.append(audio_violations(checked).select(*VIOLATION_COLS))
+    parts.append(uniqueness_violations(clips, "clip_id").select(*VIOLATION_COLS))
+    parts.append(ri_violation_rows(clips, "codec", codecs).select(*VIOLATION_COLS))
+
+    all_v = parts[0]
+    for p in parts[1:]:
+        all_v = all_v.unionByName(p)
+
+    return SuiteResult(
+        validated=validated,
+        violations=all_v,
+        verdicts=partition_verdicts(validated),
+    )
