@@ -1,10 +1,10 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one engine operator (SURVEY.md §2 or
+a north_star/training-data addition) over the driver's TPC-H-ish
+parquet tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+Column names and types are aligned on both sides (sizes cast to bigint,
+floats rounded) because the driver hash-compares values per column.
 """
 
 from __future__ import annotations
@@ -12,27 +12,471 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# the jesse-keyword constraint suite instantiated on the documents table
+DOCS_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-06/schema#",
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 60, "maxLength": 500},
+        "lang": {"type": "string", "enum": ["en", "de", "fr", "es"]},
+        "source": {"type": "string", "pattern": "^src[0-9]$"},
+        "n_chars": {"type": "integer", "minimum": 60, "maximum": 500},
+    },
+}
+
+
+# ---------------------------------------------------------------------------
+# flagship: full keyword suite compiled + executed, violations per constraint
+# ---------------------------------------------------------------------------
+def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jesse_spark import validate
+
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOCS_SCHEMA, ["doc_id"])
+    return (
+        res.violations.groupBy("constraint", "path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(F.col("constraint").alias("constraint_code"), "path", "violations")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compile + run the full constraint suite on sf0.001
+    documents and aggregate violations per (constraint, path)."""
+    return q_validate_documents(spark, DEFAULT_SF)
+
+
+# ---------------------------------------------------------------------------
+# per-operator queries
+# ---------------------------------------------------------------------------
+def q_stats_single_pass(spark, sf_dir):
+    from jesse_spark.operators.stats import column_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = column_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return s.select(
+        F.col("column").alias("column_name"),
+        F.col("non_null").cast("bigint").alias("non_null"),
+        F.round("null_rate", 6).alias("null_rate"),
+        F.round("min", 6).alias("min_v"),
+        F.round("max", 6).alias("max_v"),
+        F.round("mean", 6).alias("mean_v"),
+    )
+
+
+def q_uniqueness_dup_keys(spark, sf_dir):
+    from jesse_spark.operators.uniqueness import find_duplicates
+
+    li = _t(spark, sf_dir, "lineitem")
+    return find_duplicates(li, "l_orderkey").select(
+        "l_orderkey", F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
+def q_uniqueness_gate(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("o_orderkey").cast("bigint").alias("cnt"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("distinct_cnt"),
+    ).select("cnt", "distinct_cnt",
+             (F.col("cnt") == F.col("distinct_cnt")).alias("is_unique"))
+
+
+def q_ri_orphans(spark, sf_dir):
+    from jesse_spark.operators.integrity import ri_violations
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    return ri_violations(o, "o_custkey", c, "c_custkey").select(
+        "o_orderkey", "o_custkey")
+
+
+def q_ri_semi_count(spark, sf_dir):
+    from jesse_spark.operators.integrity import ri_valid
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return ri_valid(li, "l_orderkey", o, "o_orderkey", broadcast_ref=False).agg(
+        F.count(F.lit(1)).cast("bigint").alias("valid_rows"))
+
+
+def q_enum_violations(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    allowed = ["click", "view", "purchase", "signup"]
+    return ev.filter(~F.col("event_type").isin(allowed)).select(
+        "event_id", "event_type")
+
+
+def q_range_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") >= 45) & (F.col("l_quantity") <= 50)).select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_multiple_of(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.pmod(F.col("l_quantity"), F.lit(5.0)) == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def q_length_check(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.length("text") > 400).select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len"))
+
+
+def q_pattern_match(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("text").rlike("window.*filter")).select("doc_id")
+
+
+def q_required_nulls(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    aggs, names = [], ["doc_id", "text", "lang", "source", "n_chars"]
+    for c in names:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(c))
+    one = d.agg(*aggs)
+    parts = ", ".join(f"'{c}', `{c}`" for c in names)
+    return one.selectExpr(f"stack({len(names)}, {parts}) as (column_name, nulls)")
+
+
+def q_kvc_aggregates(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_window_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_drift_psi(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_PSI_SQL)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from jesse_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "prefix", F.substring("text", 1, 30))
+    return exact_duplicates(d, "prefix", "doc_id").select(
+        "text_hash", F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
+def q_unique_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+
+
+def q_contains_token(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.array_contains(F.split(F.col("text"), " "), "spark")).select("doc_id")
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"))
+        .cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def q_quality_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    stop = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]")).cast("bigint").alias("alpha_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("bigint").alias("punct_chars"),
+        F.size(F.filter(toks, lambda w: w.isin(*stop))).cast("bigint").alias("stop_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", "")).alias("fp"),
+    )
+
+
+def q_embed_topk(spark, sf_dir):
+    from jesse_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]]
+    top = brute_force_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+                           qvec, k=10)
+    return top.select(F.col("id").alias("vec_id"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
+# ---- rows-only operators (non-SQL-expressible; weaker driver check) -------
+def q_minhash_near_dups(spark, sf_dir):
+    from jesse_spark.operators.dedup import jaccard_verify, minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "text", "doc_id", num_perm=32, bands=8,
+                                  shingle_mode="token")
+    return jaccard_verify(cand, d, "text", "doc_id", threshold=0.5,
+                          shingle_mode="token").select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from jesse_spark.operators.dedup import simhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_candidates(d, "text", "doc_id", max_hamming=8)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from jesse_spark.operators.dedup import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, "embedding", "vec_id", dim=64,
+                                     n_planes=8, min_cosine=0.9).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    from jesse_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]]
+    cents = train_ivf_centroids(e.orderBy("vec_id"), "embedding", n_cells=8,
+                                sample=256)
+    top = ivf_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec,
+                   centroids=cents, n_probe=4, k=10)
+    return top.select(F.col("id").alias("vec_id"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def q_lang_id(spark, sf_dir):
+    from jesse_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(lang_id(F.col("text")).alias("pred_lang"))
+            .groupBy("pred_lang").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def q_quality_scores(spark, sf_dir):
+    from jesse_spark.operators.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d, "text").select(
+        "doc_id", F.round("quality_score", 4).alias("quality_score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_documents": q_validate_documents,
+        "stats_single_pass": q_stats_single_pass,
+        "uniqueness_dup_keys": q_uniqueness_dup_keys,
+        "uniqueness_gate": q_uniqueness_gate,
+        "ri_orphans": q_ri_orphans,
+        "ri_semi_count": q_ri_semi_count,
+        "enum_violations": q_enum_violations,
+        "range_filter": q_range_filter,
+        "multiple_of": q_multiple_of,
+        "length_check": q_length_check,
+        "pattern_match": q_pattern_match,
+        "required_nulls": q_required_nulls,
+        "kvc_aggregates": q_kvc_aggregates,
+        "window_agg": q_window_agg,
+        "drift_psi": q_drift_psi,
+        "dedup_exact": q_dedup_exact,
+        "unique_tokens": q_unique_tokens,
+        "contains_token": q_contains_token,
+        "token_counts": q_token_counts,
+        "quality_counts": q_quality_counts,
+        "fingerprint": q_fingerprint,
+        "embed_topk": q_embed_topk,
+        # rows-only (no oracle): approximate / engine-specific operators
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+_PSI_SQL = """
+WITH buck AS (
+  SELECT CASE WHEN value < 10 THEN 0 WHEN value < 25 THEN 1
+              WHEN value < 50 THEN 2 WHEN value < 100 THEN 3
+              WHEN value < 200 THEN 4 ELSE 5 END AS b,
+         event_id % 2 AS side
+  FROM events
+),
+cnt AS (
+  SELECT b,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+  FROM buck GROUP BY b
+),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM cnt)
+SELECT round(sum((na * 1.0 / ta - nb * 1.0 / tb)
+            * ln((na * 1.0 / ta + 1e-6) / (nb * 1.0 / tb + 1e-6))), 4) AS psi
+FROM cnt, tot
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    docs_viol = """
+    WITH v AS (
+      SELECT 'not_in_enum' AS c, '/lang' AS p FROM documents
+        WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+      UNION ALL SELECT 'no_match', '/source' FROM documents
+        WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+      UNION ALL SELECT 'wrong_length', '/text' FROM documents
+        WHERE text IS NOT NULL AND length(text) < 60
+      UNION ALL SELECT 'wrong_length', '/text' FROM documents
+        WHERE text IS NOT NULL AND length(text) > 500
+      UNION ALL SELECT 'not_in_range', '/n_chars' FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars < 60
+      UNION ALL SELECT 'not_in_range', '/n_chars' FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 500
+      UNION ALL SELECT 'not_in_range', '/doc_id' FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id < 0
+      UNION ALL SELECT 'missing_required_property', '' FROM documents WHERE doc_id IS NULL
+      UNION ALL SELECT 'missing_required_property', '' FROM documents WHERE text IS NULL
+      UNION ALL SELECT 'missing_required_property', '' FROM documents WHERE lang IS NULL
+      UNION ALL SELECT 'missing_required_property', '' FROM documents WHERE source IS NULL
+      UNION ALL SELECT 'missing_required_property', '' FROM documents WHERE n_chars IS NULL
+    )
+    SELECT c AS constraint_code, p AS path, count(*) AS violations
+    FROM v GROUP BY c, p
     """
-    return {}
+    stats = """
+    SELECT 'l_quantity' AS column_name, count(l_quantity) AS non_null,
+           round(avg(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+           round(min(l_quantity), 6) AS min_v, round(max(l_quantity), 6) AS max_v,
+           round(avg(l_quantity), 6) AS mean_v FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice),
+           round(avg(CASE WHEN l_extendedprice IS NULL THEN 1.0 ELSE 0.0 END), 6),
+           round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
+           round(avg(l_extendedprice), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount),
+           round(avg(CASE WHEN l_discount IS NULL THEN 1.0 ELSE 0.0 END), 6),
+           round(min(l_discount), 6), round(max(l_discount), 6),
+           round(avg(l_discount), 6) FROM lineitem
+    """
+    return {
+        "validate_documents": docs_viol,
+        "stats_single_pass": stats,
+        "uniqueness_dup_keys": (
+            "SELECT l_orderkey, count(*) AS dup_count FROM lineitem "
+            "GROUP BY l_orderkey HAVING count(*) > 1"),
+        "uniqueness_gate": (
+            "SELECT count(o_orderkey) AS cnt, "
+            "count(DISTINCT o_orderkey) AS distinct_cnt, "
+            "count(o_orderkey) = count(DISTINCT o_orderkey) AS is_unique FROM orders"),
+        "ri_orphans": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)"),
+        "ri_semi_count": (
+            "SELECT count(*) AS valid_rows FROM lineitem WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)"),
+        "enum_violations": (
+            "SELECT event_id, event_type FROM events WHERE event_type NOT IN "
+            "('click','view','purchase','signup')"),
+        "range_filter": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity >= 45 AND l_quantity <= 50"),
+        "multiple_of": (
+            "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity % 5 = 0"),
+        "length_check": (
+            "SELECT doc_id, length(text) AS text_len FROM documents "
+            "WHERE length(text) > 400"),
+        "pattern_match": (
+            "SELECT doc_id FROM documents WHERE regexp_matches(text, 'window.*filter')"),
+        "required_nulls": (
+            "SELECT 'doc_id' AS column_name, count(CASE WHEN doc_id IS NULL THEN 1 END) AS nulls FROM documents "
+            "UNION ALL SELECT 'text', count(CASE WHEN text IS NULL THEN 1 END) FROM documents "
+            "UNION ALL SELECT 'lang', count(CASE WHEN lang IS NULL THEN 1 END) FROM documents "
+            "UNION ALL SELECT 'source', count(CASE WHEN source IS NULL THEN 1 END) FROM documents "
+            "UNION ALL SELECT 'n_chars', count(CASE WHEN n_chars IS NULL THEN 1 END) FROM documents"),
+        "kvc_aggregates": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(avg(l_quantity), 6) AS avg_qty, "
+            "round(avg(l_extendedprice), 4) AS avg_price, "
+            "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+        "window_agg": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
+            "count(*) AS events, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1"),
+        "drift_psi": _PSI_SQL,
+        "dedup_exact": (
+            "SELECT md5(trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g'))) AS text_hash, "
+            "count(*) AS dup_count FROM documents "
+            "GROUP BY 1 HAVING count(*) > 1"),
+        "unique_tokens": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+            "len(list_distinct(string_split(text, ' '))) AS n_distinct FROM documents"),
+        "contains_token": (
+            "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'spark')"),
+        "token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS ws_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens "
+            "FROM documents"),
+        "quality_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars, "
+            "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_chars, "
+            "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            "w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS stop_tokens "
+            "FROM documents"),
+        "fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp "
+            "FROM documents"),
+        "embed_topk": (
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC LIMIT 10"),
+    }

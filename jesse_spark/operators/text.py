@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines (all JVM-side
+Column expressions — no UDFs in any of these).
+
+- token counting (whitespace + a BPE-ish word/number/punct regex)
+- quality scoring (length / punctuation / stopword / alpha ratios)
+- language-ID (top-trigram overlap heuristic)
+- document fingerprinting (normalized hash + winnowed min-shingle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jesse_spark.operators.dedup import normalized, shingles
+
+# BPE-ish pre-tokenizer: words with optional leading space, numbers,
+# punctuation runs (the common GPT-2-style split, regex-only subset)
+BPE_ISH = r"[A-Za-zÀ-ɏЀ-ӿ一-鿿]+|[0-9]+|[^\sA-Za-z0-9À-ɏЀ-ӿ一-鿿]+"
+
+STOPWORDS = (
+    "the a an and or of to in is it you that he was for on are with as "
+    "his they at be this have from"
+).split()
+
+_LANG_TRIGRAMS = {
+    # top character trigrams per language (space-padded), public knowledge
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "],
+    "de": ["er ", " de", "der", "ie ", " di", "die", "ich", "ch ", "ein", "en "],
+    "fr": [" de", "de ", " le", "es ", "le ", "ent", "nt ", " la", "la ", "ion"],
+    "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "que", " qu", "ue "],
+    "ru": [" пр", "при", " не", "не ", "ого", "го ", " на", "на ", "ени", "ть "],
+}
+
+
+def whitespace_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.coalesce(F.regexp_count(text, F.lit(BPE_ISH)), F.lit(0))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append length / ratio features + a composite quality score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.coalesce(F.regexp_count(t, F.lit(r"[A-Za-zÀ-ɏЀ-ӿ一-鿿]")), F.lit(0))
+    n_punct = F.coalesce(F.regexp_count(t, F.lit(r"[^\w\s]")), F.lit(0))
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    n_tok = whitespace_token_count(t)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    safe = F.greatest(n_chars.cast("double"), F.lit(1.0))
+    safe_tok = F.greatest(n_tok.cast("double"), F.lit(1.0))
+    out = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("alpha_ratio", n_alpha / safe)
+        .withColumn("punct_ratio", n_punct / safe)
+        .withColumn("stopword_ratio", n_stop / safe_tok)
+        .withColumn("mean_token_len", safe / safe_tok)
+    )
+    score = (
+        F.when(F.col("n_chars") < 10, 0.0)
+        .otherwise(
+            F.least(F.col("alpha_ratio") * 1.2, F.lit(1.0)) * 0.5
+            + F.least(F.col("stopword_ratio") * 3.0, F.lit(1.0)) * 0.3
+            + (F.lit(1.0) - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.2
+        )
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def _char_trigrams(text: Column) -> Column:
+    t = F.concat(F.lit(" "), normalized(text), F.lit(" "))
+    n = F.greatest(F.length(t) - 2, F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(3))))
+
+
+def lang_id(text: Column) -> Column:
+    """Best-overlap language guess over the trigram tables; 'und' when
+    nothing overlaps."""
+    tri = _char_trigrams(text)
+    scores = [
+        (lang, F.size(F.array_intersect(tri, F.array(*[F.lit(g) for g in grams]))))
+        for lang, grams in _LANG_TRIGRAMS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Stable content fingerprint: md5 of the aggressively-normalized
+    text (case/space/punct-insensitive)."""
+    return F.md5(F.regexp_replace(F.lower(text), r"[\W_]+", ""))
+
+
+def min_shingle_fingerprint(text: Column, k: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over k-shingles —
+    robust to local edits, cheap to compare."""
+    return F.array_min(F.transform(shingles(text, k), lambda s: F.xxhash64(s)))

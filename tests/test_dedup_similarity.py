@@ -1,0 +1,110 @@
+"""Dedup family + ANN similarity operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jesse_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    drop_exact_duplicates,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
+from jesse_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    train_ivf_centroids,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun every single day"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # 0/1: exact dups (modulo case/space); 2: near-dup of 0; 3-9: distinct
+    rows.append((0, BASE))
+    rows.append((1, BASE.upper() + "  "))
+    rows.append((2, BASE.replace("lazy", "sleepy")))
+    words = ["alpha bravo charlie delta echo foxtrot golf hotel india",
+             "one morning the spaceship landed quietly behind the old barn",
+             "financial markets closed higher after the announcement today",
+             "recipe calls for flour sugar butter eggs vanilla and patience",
+             "the committee voted unanimously to postpone the decision",
+             "quantum entanglement cannot transmit information faster",
+             "her garden grows tomatoes peppers basil and several herbs"]
+    for i in range(3, 10):
+        rows.append((i, words[i - 3] + f" unique tail {i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_duplicates(docs, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["ids"] == [0, 1]
+    kept = drop_exact_duplicates(docs, "text", "doc_id")
+    assert kept.count() == 9  # one of the pair dropped
+    assert kept.filter(F.col("doc_id") == 0).count() == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    cand = minhash_lsh_candidates(docs, "text", "doc_id", num_perm=32, bands=16)
+    verified = jaccard_verify(cand, docs, "text", "doc_id", threshold=0.6)
+    pairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (0, 2) in pairs or (0, 1) in pairs
+    # unrelated docs never verify
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in simhash_candidates(docs, "text", "doc_id",
+                                         max_hamming=6).collect()}
+    assert (0, 1) in pairs or (0, 2) in pairs
+    assert not any(a >= 3 or b >= 3 for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # 20 = near-dup of 0
+    rows.append((20, [float(x) for x in base[0] + rng.standard_normal(16) * 0.01]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dups(vectors):
+    pairs = embedding_near_duplicates(vectors, "embedding", "vec_id",
+                                      dim=16, n_planes=8,
+                                      min_cosine=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 20)}
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    rows = vectors.collect()
+    X = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    q = X[0]
+    cos = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    exp = set(ids[np.argsort(-cos)[:5]].tolist())
+    got = {r["id"] for r in
+           brute_force_topk(vectors, "embedding", "vec_id", list(q), k=5).collect()}
+    assert got == exp
+
+
+def test_ivf_topk_recall(vectors):
+    rows = vectors.collect()
+    q = rows[0]["embedding"]
+    cents = train_ivf_centroids(vectors, "embedding", n_cells=4, sample=32)
+    got = {r["id"] for r in
+           ivf_topk(vectors, "embedding", "vec_id", q,
+                    centroids=cents, n_probe=4, k=3).collect()}
+    # n_probe == n_cells → exhaustive → exact top-3
+    exp = {r["id"] for r in
+           brute_force_topk(vectors, "embedding", "vec_id", q, k=3).collect()}
+    assert got == exp

@@ -1,0 +1,90 @@
+"""Table-level checks: stats / uniqueness / RI / drift / checkpoint."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jesse_spark.operators.drift import categorical_psi, numeric_drift
+from jesse_spark.operators.integrity import ri_violations
+from jesse_spark.operators.stats import column_stats
+from jesse_spark.operators.uniqueness import (
+    approx_unique_stats,
+    find_duplicates,
+)
+from jesse_spark.plans.checkpoint import (
+    CheckpointManager,
+    input_snapshot_id,
+    shard_verdicts,
+    with_shard,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_column_stats_single_pass(spark, lineitem):
+    s = column_stats(lineitem, ["l_quantity", "l_discount"]).toPandas()
+    assert set(s["column"]) == {"l_quantity", "l_discount"}
+    q = s[s["column"] == "l_quantity"].iloc[0]
+    assert q["rows"] == lineitem.count()
+    assert q["null_rate"] == 0.0
+    assert 1 <= q["min"] <= q["max"] <= 50
+    assert len(q["quantiles"]) == 5
+
+
+def test_uniqueness_two_phase(spark, lineitem):
+    # l_orderkey repeats (multi-line orders) → phase 1 signals dups
+    a = approx_unique_stats(lineitem, "l_orderkey").head()
+    assert a["distinct_ratio"] < 0.9
+    dups = find_duplicates(lineitem, "l_orderkey")
+    exact = find_duplicates(lineitem, "l_orderkey", salted=True)
+    assert dups.count() == exact.count() > 0
+    # a genuinely-unique key has no duplicates
+    uid = lineitem.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("k"))
+    assert find_duplicates(uid, "k").count() == 0
+
+
+def test_ri_joins(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    assert ri_violations(orders, "o_custkey", customer, "c_custkey").count() == 0
+    half = customer.filter(F.col("c_custkey") % 2 == 0)
+    orphans = ri_violations(orders, "o_custkey", half, "c_custkey")
+    assert orphans.count() > 0
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # dim side must broadcast
+
+
+def test_drift_identical_vs_shifted(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    same = numeric_drift(a, b, "value")
+    assert same["psi"] < 0.05 and same["ks"] < 0.05
+    shifted = b.withColumn("value", F.col("value") * 3 + 100)
+    diff = numeric_drift(a, shifted, "value")
+    assert diff["psi"] > 0.5 and diff["ks"] > 0.3
+    assert categorical_psi(a, b, "event_type") < 0.05
+    assert categorical_psi(
+        a, b.withColumn("event_type", F.lit("zzz")), "event_type") > 1.0
+
+
+def test_checkpoint_resume(spark, tmp_path, lineitem):
+    snap = input_snapshot_id(spark, SF)
+    cm = CheckpointManager(spark, str(tmp_path / "manifests"))
+    df = with_shard(lineitem, "l_orderkey", 8)
+    # nothing done yet → all rows pending
+    assert cm.pending(df, "run1", snap).count() == df.count()
+    # complete shards 0-3
+    done = shard_verdicts(df.filter(F.col("_shard") < 4)
+                          .withColumn("valid", F.lit(True)))
+    cm.record("run1", snap, done, wall_sec=1.0)
+    pending = cm.pending(df, "run1", snap)
+    assert pending.count() == df.filter(F.col("_shard") >= 4).count()
+    assert set(cm.completed_shards("run1", snap)) == {0, 1, 2, 3}
+    # a different snapshot invalidates checkpoints
+    assert cm.pending(df, "run1", "other-snap").count() == df.count()

@@ -1,0 +1,96 @@
+"""Text-analysis operators + multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jesse_spark.operators import multimodal
+from jesse_spark.operators.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    min_shingle_fingerprint,
+    quality_features,
+    whitespace_token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog and the cat."),
+        (1, "Der Hund und die Katze spielen in einem der Gärten nicht."),
+        (2, "le chien et le chat jouent dans le jardin de la maison"),
+        (3, "el perro y el gato juegan en el jardín de la casa que"),
+        (4, "!!! ??? ### $$$ %%%"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(texts):
+    r = texts.select("doc_id",
+                     whitespace_token_count(F.col("text")).alias("ws"),
+                     bpe_ish_token_count(F.col("text")).alias("bpe")).collect()
+    by = {x["doc_id"]: x for x in r}
+    assert by[0]["ws"] == 12
+    assert by[5]["ws"] == 0
+    assert by[0]["bpe"] >= by[0]["ws"]  # punctuation splits add tokens
+
+
+def test_quality_features(texts):
+    q = quality_features(texts, "text").collect()
+    by = {x["doc_id"]: x for x in q}
+    assert by[0]["quality_score"] > 0.5          # clean English
+    assert by[4]["quality_score"] < 0.3          # punctuation soup
+    assert by[5]["quality_score"] == 0.0         # empty
+    assert 0 <= by[0]["stopword_ratio"] <= 1
+
+
+def test_lang_id(texts):
+    r = {x["doc_id"]: x["l"] for x in
+         texts.select("doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert r[0] == "en"
+    assert r[1] == "de"
+    assert r[2] == "fr"
+    assert r[3] == "es"
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "different text")],
+        "doc_id long, text string")
+    fp = df.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"),
+                   min_shingle_fingerprint(F.col("text")).alias("msf")).collect()
+    by = {x["doc_id"]: x for x in fp}
+    assert by[0]["fp"] == by[1]["fp"]       # normalization-invariant
+    assert by[0]["fp"] != by[2]["fp"]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [("m0", b"\x01\x02payload0", "image", "image/raw", 16, 12, None, None),
+            ("m1", b"\x03\x04payload1", "image", "image/raw", 8, 8, None, None),
+            ("v0", b"\x05videodata", "video", "video/raw", 8, 8, 90, None)]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_image_features_shape(media):
+    feats = multimodal.image_features(media.filter(F.col("media_type") == "image"))
+    rows = feats.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5
+
+
+def test_image_resize_plumbing(media):
+    out = multimodal.image_resize(
+        media.filter(F.col("media_type") == "image"), width=4, height=4).collect()
+    assert all(len(r["payload"]) == 4 * 4 * 3 for r in out)
+    assert all(r["width"] == 4 and r["height"] == 4 for r in out)
+
+
+def test_video_frame_sample(media):
+    frames = multimodal.video_frame_sample(
+        media.filter(F.col("media_type") == "video"), every_n=30).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 30, 60]
