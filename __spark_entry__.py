@@ -263,7 +263,7 @@ def q_simhash_near_dups(spark, sf_dir):
     from jesse_spark.operators.dedup import simhash_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_candidates(d, "text", "doc_id", max_hamming=8)
+    return simhash_candidates(d, "text", "doc_id", max_hamming=3)
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -290,11 +290,11 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    from jesse_spark.operators.text import lang_id
+    from jesse_spark.operators.text import with_lang_id
 
     d = _t(spark, sf_dir, "documents")
-    return (d.select(lang_id(F.col("text")).alias("pred_lang"))
-            .groupBy("pred_lang").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    return (with_lang_id(d, "text").groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
 
 
 def q_quality_scores(spark, sf_dir):

@@ -1,0 +1,176 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "clips": N, "clips_per_sec": ...}
+
+The flagship number is clips/sec for the FULL validation suite
+(row keywords + audio SNR + uniqueness + RI) over a deterministic
+synthetic clips table (BASELINE.json metric).
+
+``--scaling`` mode: run the identical clips job at two parallelism
+levels (local[8] vs local[32] — the sandbox stand-in for N vs 4N
+executors, BASELINE.md protocol) and write BENCH/BASELINE.md with
+throughput at both plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", "20000"))
+CLIPS_PATH = os.environ.get("SPARK_GRAFT_CLIPS_PATH", "/tmp/jesse_spark_bench_clips")
+
+# benched queries: every oracled query + the cheap rows-only ones.
+SKIP = {"minhash_near_dups"}  # benched separately below (heaviest)
+
+
+def _noop_run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def materialize_clips(spark, n: int, path: str, cpus: int) -> None:
+    from jesse_spark.sources.fixtures import clips_df
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and \
+            os.environ.get("SPARK_GRAFT_REUSE_CLIPS", "1") == "1":
+        return
+    shutil.rmtree(path, ignore_errors=True)
+    clips_df(spark, n, partitions=cpus * 4).write.mode("overwrite").parquet(path)
+
+
+def run_clip_suite(spark, path: str) -> dict:
+    """The headline job: full constraint suite + payload checks."""
+    from jesse_spark.plans.pipeline import run_full_suite
+    from jesse_spark.sources.fixtures import codecs_df
+
+    clips = spark.read.parquet(path)
+    t0 = time.time()
+    res = run_full_suite(clips, codecs_df(spark))
+    n_viol = res.violations.count()
+    verd = res.verdicts.collect()
+    wall = time.time() - t0
+    res.validated.unpersist()
+    rows = sum(r["rows"] for r in verd)
+    return {"wall": wall, "rows": rows, "violations": n_viol,
+            "clips_per_sec": rows / wall}
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        if name in SKIP:
+            continue
+        t0 = time.time()
+        _noop_run(fn(spark, SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    # heaviest query last, so an interrupt still yields a full line
+    import __spark_entry__ as e
+
+    t0 = time.time()
+    _noop_run(e.queries()["minhash_near_dups"](spark, SF_DIR))
+    out["minhash_near_dups"] = round(time.time() - t0, 3)
+    return out
+
+
+def main_default() -> None:
+    from jesse_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    materialize_clips(spark, N_CLIPS, CLIPS_PATH, CPUS)
+    run_clip_suite(spark, CLIPS_PATH)   # warm-up: JIT, workers, page cache
+    clip = run_clip_suite(spark, CLIPS_PATH)
+    queries = bench_queries(spark)
+    queries["clips_full_suite"] = round(clip["wall"], 3)
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "validation suite wall (clips full suite + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "clips": clip["rows"],
+        "clips_per_sec": round(clip["clips_per_sec"], 1),
+        "violations": clip["violations"],
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+def _one_scaling_run(cpus: int) -> dict:
+    """Child process: identical clips job at a given parallelism."""
+    from jesse_spark.session import get_spark
+
+    spark = get_spark(f"scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    materialize_clips(spark, N_CLIPS, CLIPS_PATH, 32)
+    # warm-up pass (JIT, page cache), then 2 timed runs, keep the best
+    run_clip_suite(spark, CLIPS_PATH)
+    best = min(run_clip_suite(spark, CLIPS_PATH)["wall"] for _ in range(2))
+    rows = N_CLIPS
+    spark.stop()
+    return {"cpus": cpus, "wall": best, "clips_per_sec": rows / best}
+
+
+def main_scaling() -> None:
+    results = []
+    for cpus in (8, 32):
+        # fresh JVM per level so thread pools/memory don't leak across runs
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cpus)],
+            capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    r8, r32 = results
+    eff = (r32["clips_per_sec"] / r8["clips_per_sec"]) / (32 / 8)
+    md = f"""# BENCH — measured baseline
+
+Headline metric (BASELINE.json): clips validated/sec, full constraint
+suite (row keywords, one codegen projection) + audio payload SNR≥30dB
+(Arrow pandas UDF) + uniqueness + referential integrity, on the
+deterministic synthetic clips table ({N_CLIPS} clips, FIXTURES.md §1).
+
+## Two-cluster-size scaling (sandbox protocol, BASELINE.md)
+
+Same job, same input, two parallelism levels (stand-in for N vs 4N
+executors). Best of 2 timed runs after warm-up, fresh JVM per level.
+
+| parallelism | wall (s) | clips/sec |
+|---|---|---|
+| local[8]  (N)  | {r8['wall']:.2f} | {r8['clips_per_sec']:.0f} |
+| local[32] (4N) | {r32['wall']:.2f} | {r32['clips_per_sec']:.0f} |
+
+**Scaling efficiency (T_4N/T_N)/4 = {eff:.3f}** (gate: ≥ 0.8 — {"PASS" if eff >= 0.8 else "FAIL"})
+
+Reference (jesse) publishes no throughput numbers (no bench suite in
+the repo); it is a single-threaded per-document validator, so the
+engine's clips/sec at local[8] already bounds it from above.
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps({"n8": r8, "n32": r32, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
+        print(json.dumps(_one_scaling_run(int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    else:
+        main_default()

@@ -30,12 +30,35 @@ def normalized(text: Column) -> Column:
 
 def shingles(text: Column, k: int = 5) -> Column:
     """Distinct character k-shingles as an array<string> — built with
-    sequence+transform (JVM, no UDF)."""
+    sequence+transform (JVM, no UDF).
+
+    NOTE: ``substr(i, k)`` on a UTF8String seeks from the start (O(i)),
+    so naive shingling is O(n²) per row.  Prefer :func:`with_shingles`,
+    which stages a char array and slices it (O(n·k))."""
     t = normalized(text)
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
     )
+
+
+def with_shingles(df: DataFrame, text_col: str, *, k: int = 5,
+                  mode: str = "char", out: str = "sh") -> DataFrame:
+    """Stage shingles as a column: char array first (one split per
+    row), then O(k) slices — avoids both the O(n²) substr seek and
+    CollapseProject re-evaluation."""
+    if mode == "token":
+        return df.withColumn(out, token_shingles(F.col(text_col), max(k // 2, 2)))
+    d = df.withColumn("_chars", F.split(normalized(F.col(text_col)), ""))
+    n = F.greatest(F.size(F.col("_chars")) - (k - 1), F.lit(1))
+    d = d.withColumn(
+        out,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws("", F.slice(F.col("_chars"), i, k)),
+        )),
+    )
+    return d.drop("_chars")
 
 
 def token_shingles(text: Column, n: int = 3) -> Column:
@@ -82,10 +105,6 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 # 2. MinHash + LSH banding
 # ---------------------------------------------------------------------------
-def _shingle_col(text: Column, k: int, mode: str) -> Column:
-    return token_shingles(text, max(k // 2, 2)) if mode == "token" else shingles(text, k)
-
-
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        *, num_perm: int = 64, k: int = 5,
                        shingle_mode: str = "char") -> DataFrame:
@@ -98,8 +117,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     expression referenced num_perm times; keeping it behind a
     projection boundary stops CollapseProject from re-inlining (and
     thus re-evaluating) it once per permutation."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   _shingle_col(F.col(text_col), k, shingle_mode).alias("sh"))
+    sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
+                       text_col, k=k, mode=shingle_mode).select("id", "sh")
     return sh.select(
         "id",
         F.array(*[
@@ -182,8 +201,8 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (two broadcast-able
     joins against the shingle projection)."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   _shingle_col(F.col(text_col), k, shingle_mode).alias("sh"))
+    sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
+                       text_col, k=k, mode=shingle_mode).select("id", "sh")
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     j = (

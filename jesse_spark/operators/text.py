@@ -74,25 +74,58 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _char_trigrams(text: Column) -> Column:
+    """Trigrams via substr — O(n²) seek; used only by the Column-level
+    lang_id.  with_lang_id stages a char array instead (O(n))."""
     t = F.concat(F.lit(" "), normalized(text), F.lit(" "))
     n = F.greatest(F.length(t) - 2, F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(3))))
 
 
-def lang_id(text: Column) -> Column:
-    """Best-overlap language guess over the trigram tables; 'und' when
-    nothing overlaps."""
-    tri = _char_trigrams(text)
-    scores = [
-        (lang, F.size(F.array_intersect(tri, F.array(*[F.lit(g) for g in grams]))))
+def _trigrams_from_chars(chars: Column) -> Column:
+    n = F.greatest(F.size(chars) - 2, F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.concat_ws("", F.slice(chars, i, 3))))
+
+
+def _lang_scores(tri: Column) -> Column:
+    """array<struct<score,lang>> of per-language trigram overlaps."""
+    return F.array(*[
+        F.struct(
+            F.size(F.array_intersect(
+                tri, F.array(*[F.lit(g) for g in grams]))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
         for lang, grams in _LANG_TRIGRAMS.items()
-    ]
-    best = F.greatest(*[s for _, s in scores])
-    out = F.lit("und")
-    for lang, s in reversed(scores):
-        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    ])
+
+
+def with_lang_id(df: DataFrame, text_col: str, out: str = "pred_lang") -> DataFrame:
+    """Staged lang-id: trigrams → scores → argmax in three projections.
+
+    Staging matters: the trigram array is an expensive expression
+    referenced once per language; behind projection boundaries it is
+    evaluated once per row instead of |langs|+ times (same
+    CollapseProject consideration as the MinHash signature)."""
+    best = F.array_max(_lang_scores(F.col("_tri")))
+    return (
+        df.withColumn("_chars", F.split(
+            F.concat(F.lit(" "), normalized(F.col(text_col)), F.lit(" ")), ""))
+        .withColumn("_tri", _trigrams_from_chars(F.col("_chars")))
+        .drop("_chars")
+        .withColumn("_best", best)
+        .withColumn(out, F.when(F.col("_best.score") > 0, F.col("_best.lang"))
+                    .otherwise(F.lit("und")))
+        .drop("_tri", "_best")
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Column-expression variant (convenient for small data; prefer
+    :func:`with_lang_id` in pipelines — it stages the trigram array)."""
+    best = F.array_max(_lang_scores(_char_trigrams(text)))
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("und"))
 
 
 def doc_fingerprint(text: Column) -> Column:

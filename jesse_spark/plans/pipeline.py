@@ -50,28 +50,50 @@ def run_full_suite(
     *,
     schema: dict | None = None,
     with_audio: bool = True,
+    persist: bool = True,
 ) -> SuiteResult:
+    """``persist=True`` caches a NARROW projection (no ``bytes``) of the
+    row-suite output so the four consumers (violation rows, verdicts,
+    uniqueness, RI) share one scan.  The audio stage re-reads ``bytes``
+    separately and filters with the codegen'd fail-fast conjunction
+    instead of rebuilding violation arrays — the decode UDF must never
+    see rows the keyword suite already rejected (jesse runs the
+    external validator only when keyword checks passed,
+    jesse_validator_draft4.erl:257-258 with allowed_errors=0).
+
+    At 10^12 rows set persist=False: the narrow projection no longer
+    fits cache economically and recomputing the codegen row suite per
+    consumer is cheaper than materialization."""
+    from pyspark import StorageLevel
+
     schema = schema or CLIPS_CONSTRAINT_SCHEMA
     checks = compile_checks(schema, clips.schema, null_is_absent=True)
     validated = with_violations(clips, checks)
 
-    row_v = violation_rows(validated, ["clip_id"])
+    narrow = validated.drop("bytes")
+    if persist:
+        narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+
+    row_v = violation_rows(narrow, ["clip_id"])
 
     parts = [row_v.select(*VIOLATION_COLS)]
     if with_audio:
-        passing = validated.filter(F.col("valid")).select(
-            "clip_id", "bytes", "codec", "sr_hz", "transcript")
+        from jesse_spark.plans.validate import _instance_col, fail_fast_pred
+
+        passing = clips.filter(
+            fail_fast_pred(checks, _instance_col(clips))
+        ).select("clip_id", "bytes", "codec", "sr_hz", "transcript")
         checked = with_audio_checks(passing)
         parts.append(audio_violations(checked).select(*VIOLATION_COLS))
-    parts.append(uniqueness_violations(clips, "clip_id").select(*VIOLATION_COLS))
-    parts.append(ri_violation_rows(clips, "codec", codecs).select(*VIOLATION_COLS))
+    parts.append(uniqueness_violations(narrow, "clip_id").select(*VIOLATION_COLS))
+    parts.append(ri_violation_rows(narrow, "codec", codecs).select(*VIOLATION_COLS))
 
     all_v = parts[0]
     for p in parts[1:]:
         all_v = all_v.unionByName(p)
 
     return SuiteResult(
-        validated=validated,
+        validated=narrow,
         violations=all_v,
-        verdicts=partition_verdicts(validated),
+        verdicts=partition_verdicts(narrow),
     )
