@@ -111,6 +111,13 @@ def main_default() -> None:
     spark.stop()
 
 
+# scaling mode uses a larger input so the job is compute-dominated —
+# at 20k clips ~6 s of fixed scheduling/JIT overhead swamps the 32-core
+# run and the efficiency number measures overhead, not scaling
+N_SCALING = int(os.environ.get("SPARK_GRAFT_CLIPS_SCALING", "100000"))
+SCALING_PATH = CLIPS_PATH + f"_scale{N_SCALING}"
+
+
 def _one_scaling_run(cpus: int) -> dict:
     """Child process: identical clips job at a given parallelism."""
     from jesse_spark.session import get_spark
@@ -118,11 +125,11 @@ def _one_scaling_run(cpus: int) -> dict:
     spark = get_spark(f"scale-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
-    materialize_clips(spark, N_CLIPS, CLIPS_PATH, 32)
-    # warm-up pass (JIT, page cache), then 2 timed runs, keep the best
-    run_clip_suite(spark, CLIPS_PATH)
-    best = min(run_clip_suite(spark, CLIPS_PATH)["wall"] for _ in range(2))
-    rows = N_CLIPS
+    materialize_clips(spark, N_SCALING, SCALING_PATH, 32)
+    # warm-up pass (JIT, page cache, python workers), then best of 3
+    run_clip_suite(spark, SCALING_PATH)
+    best = min(run_clip_suite(spark, SCALING_PATH)["wall"] for _ in range(3))
+    rows = N_SCALING
     spark.stop()
     return {"cpus": cpus, "wall": best, "clips_per_sec": rows / best}
 
@@ -143,12 +150,12 @@ def main_scaling() -> None:
 Headline metric (BASELINE.json): clips validated/sec, full constraint
 suite (row keywords, one codegen projection) + audio payload SNR≥30dB
 (Arrow pandas UDF) + uniqueness + referential integrity, on the
-deterministic synthetic clips table ({N_CLIPS} clips, FIXTURES.md §1).
+deterministic synthetic clips table ({N_SCALING} clips, FIXTURES.md §1).
 
 ## Two-cluster-size scaling (sandbox protocol, BASELINE.md)
 
 Same job, same input, two parallelism levels (stand-in for N vs 4N
-executors). Best of 2 timed runs after warm-up, fresh JVM per level.
+executors). Best of 3 timed runs after warm-up, fresh JVM per level.
 
 | parallelism | wall (s) | clips/sec |
 |---|---|---|

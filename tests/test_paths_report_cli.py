@@ -1,0 +1,115 @@
+"""JSON-pointer access, KVC aggregates, report sink, CLI, streaming."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jesse_spark.functions.paths import kvc_agg, pointer_get, pointer_tokens
+from jesse_spark.plans.report import per_row_reports
+
+
+def test_pointer_tokens_unescaping():
+    # jesse_json_path.erl:38-42: %XX then ~1 then ~0
+    assert pointer_tokens("/a~1b/c~0d/e%20f") == ["a/b", "c~d", "e f"]
+    assert pointer_tokens("#/x/0") == ["x", "0"]
+
+
+def test_pointer_get(spark):
+    df = spark.createDataFrame(
+        [({"a": {"b": [10, 20, 30]}, "m": {"k": "v"}},)],
+        T.StructType([T.StructField("value", T.StructType([
+            T.StructField("a", T.StructType([
+                T.StructField("b", T.ArrayType(T.LongType()))])),
+            T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+        ]))]))
+    col, t = pointer_get(F.col("value"), df.schema["value"].dataType, "/a/b/1")
+    assert df.select(col.alias("x")).head()["x"] == 20
+    assert isinstance(t, T.LongType)
+    col, _ = pointer_get(F.col("value"), df.schema["value"].dataType, "/m/k")
+    assert df.select(col.alias("x")).head()["x"] == "v"
+
+
+def test_kvc_aggregates(spark):
+    # jesse_json_path.erl:173-209 aggregate vocabulary
+    df = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0], [[1, 2], [2, 3]])],
+                               "nums array<double>, arrs array<array<int>>")
+    row = df.select(
+        kvc_agg(F.col("nums"), "@max").alias("mx"),
+        kvc_agg(F.col("nums"), "@min").alias("mn"),
+        kvc_agg(F.col("nums"), "@sum").alias("sm"),
+        kvc_agg(F.col("nums"), "@count").alias("ct"),
+        kvc_agg(F.col("nums"), "@avg").alias("av"),
+        kvc_agg(F.col("arrs"), "@unionOfArrays").alias("u"),
+        kvc_agg(F.col("arrs"), "@distinctUnionOfArrays").alias("du"),
+    ).head()
+    assert (row["mx"], row["mn"], row["sm"], row["ct"], row["av"]) == (4.0, 1.0, 10.0, 4, 2.5)
+    assert row["u"] == [1, 2, 2, 3] and row["du"] == [1, 2, 3]
+
+
+def test_per_row_reports(spark):
+    from jesse_spark import validate
+
+    df = spark.createDataFrame([(1, "ok"), (2, None)], "id long, name string")
+    schema = {"type": "object", "required": ["name"],
+              "properties": {"name": {"type": "string", "minLength": 1}}}
+    res = validate(df, schema, ["id"])
+    reports = {r["id"]: r for r in per_row_reports(res.validated, "id").collect()}
+    assert reports[1]["result"] == "ok" and reports[1]["errors"] == []
+    assert reports[2]["result"] == "error"
+    assert reports[2]["errors"][0]["error"] == "missing_required_property"
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """Full CLI: generate clips, validate, violations written, exit=1
+    (invalid rows present), resume skips completed shards."""
+    from jesse_spark.sources.fixtures import clips_df
+
+    inp = str(tmp_path / "clips")
+    clips_df(spark, 120).write.parquet(inp)
+    out = str(tmp_path / "violations")
+    reports = str(tmp_path / "reports")
+    ckpt = str(tmp_path / "ckpt")
+    cmd = [sys.executable, "-m", "jesse_spark.cli", "validate",
+           "--input", inp, "--output", out, "--master", "local[2]",
+           "--checkpoint-dir", ckpt, "--run-id", "t1", "--shards", "4",
+           "--json-reports", reports]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 1, r.stderr[-2000:]   # invalid rows → halt(1)
+    stats = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["rows"] == 120 and stats["invalid_rows"] > 0
+    v = spark.read.parquet(out)
+    assert v.count() > 0 and set(v.columns) >= {"clip_id", "path", "observed"}
+    # resume: all shards recorded → nothing pending → rows == 0
+    r2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    stats2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats2["rows"] == 0 and r2.returncode == 0
+
+
+def test_streaming_validation(spark, tmp_path):
+    """readStream → compiled checks → windowed verdicts (availableNow)."""
+    from jesse_spark.streaming import streaming_verdicts, validate_stream
+
+    src = str(tmp_path / "stream_src")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.concat(F.lit("n"), F.col("id"))).alias("name"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=(F.col("id") % 3).cast("int"))).alias("ingest_ts"),
+    )
+    df.write.parquet(src)
+    schema = {"type": "object", "required": ["name"],
+              "properties": {"name": {"type": "string", "pattern": "^n"}}}
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    validated = validate_stream(stream, schema)
+    verdicts = streaming_verdicts(validated, ts_col="ingest_ts", window="1 minute")
+    q = (verdicts.writeStream.format("memory").queryName("verd")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from verd order by window_start").collect()
+    assert sum(r["rows"] for r in rows) == 100
+    assert sum(r["invalid_rows"] for r in rows) == 10
+    assert len(rows) == 3 and not any(r["passed"] for r in rows)
