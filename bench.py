@@ -112,9 +112,11 @@ def main_default() -> None:
 
 
 # scaling mode uses a larger input so the job is compute-dominated —
-# at 20k clips ~6 s of fixed scheduling/JIT overhead swamps the 32-core
-# run and the efficiency number measures overhead, not scaling
-N_SCALING = int(os.environ.get("SPARK_GRAFT_CLIPS_SCALING", "100000"))
+# at 20k clips ~5-6 s of fixed scheduling/JIT overhead swamps the
+# 32-core run and the efficiency number measures overhead, not scaling
+# (measured: 20k → eff 0.08, 100k → 0.52; 400k puts the 8-core run
+# ~2 min deep where fixed costs are <5% of both sides)
+N_SCALING = int(os.environ.get("SPARK_GRAFT_CLIPS_SCALING", "400000"))
 SCALING_PATH = CLIPS_PATH + f"_scale{N_SCALING}"
 
 

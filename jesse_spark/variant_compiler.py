@@ -1,0 +1,505 @@
+"""Dynamic-typing compiler: JSON-Schema keywords over VariantType.
+
+The typed compiler (jesse_spark.compiler) resolves type guards at
+compile time against a static Spark schema.  The reference, however, is
+schema-on-read — type is discovered per value at validation time
+(jesse_lib.erl:92-110) — and the JSON-Schema-Test-Suite exercises
+heterogeneous instances (mixed-type arrays, schemas applied to
+anything).  This module compiles the SAME keyword semantics against a
+``VariantType`` column, with **runtime** type dispatch via
+``schema_of_variant`` — the engine's faithful rendering of jesse's
+dynamic dispatch, still 100% JVM-side expressions.
+
+Semantics notes (mirroring the reference):
+- a keyword type-guarded in jesse (e.g. ``minimum`` only
+  ``if is_number(Value)``, jesse_validator_draft4.erl:149-158) becomes
+  ``WHEN is_number THEN check ELSE true``;
+- numeric equality is value-based: 1 == 1.0 (jesse_lib.erl:177-181
+  normalizes numbers to float before comparing);
+- SQL NULL variant = absent (property missing); variant-encoded null =
+  JSON ``null`` (a real value of type null) — exactly the distinction
+  jesse gets from its proplists;
+- deep equality for enum/uniqueItems uses canonical JSON text for
+  object values, which is order-SENSITIVE for object keys (documented
+  deviation — jesse compares objects order-insensitively,
+  jesse_lib.erl:218-261; scalars and arrays match jesse exactly).
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re as _pyre
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jesse_spark.compiler import (
+    Builder,
+    Check,
+    Ctx,
+    MAX_REF_DEPTH,
+    _format_pred,
+    _reduce_and,
+    _reduce_or,
+    compile_pred,
+)
+from jesse_spark.errors import ErrorCodes as E
+from jesse_spark.errors import SchemaError
+from jesse_spark.schema.parser import (
+    DRAFT3,
+    DRAFT4,
+    DRAFT6,
+    SchemaRegistry,
+    detect_draft,
+    hoist_ref,
+    normalize_schema,
+)
+
+_DECIMAL0 = r"^DECIMAL\(\d+,0\)$"
+
+
+# ---------------------------------------------------------------------------
+# runtime type predicates
+# ---------------------------------------------------------------------------
+def _vt(v: Column) -> Column:
+    return F.schema_of_variant(v)
+
+
+def is_string(v: Column) -> Column:
+    return _vt(v) == "STRING"
+
+
+def is_boolean(v: Column) -> Column:
+    return _vt(v) == "BOOLEAN"
+
+
+def is_null(v: Column) -> Column:
+    return _vt(v) == "VOID"
+
+
+def is_number(v: Column) -> Column:
+    t = _vt(v)
+    return (t == "BIGINT") | (t == "DOUBLE") | (t == "FLOAT") | t.startswith("DECIMAL")
+
+
+def is_integer(v: Column, draft: int) -> Column:
+    """draft4: written as an integer (no decimal point/exponent) —
+    parse_json keeps that distinction (1.0 → DECIMAL(2,1));
+    draft6 additionally accepts numbers with zero fraction
+    (jesse_validator_draft6.erl:341-359)."""
+    t = _vt(v)
+    strict = (t == "BIGINT") | t.rlike(_DECIMAL0)
+    if draft < DRAFT6:
+        return strict
+    return strict | (is_number(v) & (as_num(v) == F.floor(as_num(v))))
+
+
+def is_array(v: Column) -> Column:
+    return _vt(v).startswith("ARRAY")
+
+
+def is_object(v: Column) -> Column:
+    return _vt(v).startswith("OBJECT")
+
+
+def as_num(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "double")
+
+
+def as_str(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "string")
+
+
+def as_bool(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "boolean")
+
+
+def as_map(v: Column) -> Column:
+    return v.cast("map<string,variant>")
+
+
+def as_arr(v: Column) -> Column:
+    return v.cast("array<variant>")
+
+
+def _present(m: Column, name: str) -> Column:
+    """Property present (may still be JSON null)."""
+    return F.map_contains_key(m, F.lit(name))
+
+
+def _type_name_pred(v: Column, name: Any, ctx: Ctx) -> Column:
+    if isinstance(name, dict):
+        if ctx.draft != DRAFT3:
+            raise SchemaError(E.WRONG_TYPE_SPECIFICATION, name)
+        return compile_variant_pred(name, ctx=_child(ctx))(v)
+    if name == "string":
+        return is_string(v)
+    if name == "number":
+        return is_number(v)
+    if name == "integer":
+        return is_integer(v, ctx.draft)
+    if name == "boolean":
+        return is_boolean(v)
+    if name == "object":
+        return is_object(v)
+    if name == "array":
+        return is_array(v)
+    if name == "null":
+        return is_null(v)
+    if name == "any":
+        return F.lit(True)
+    raise SchemaError(E.WRONG_TYPE_SPECIFICATION, name)
+
+
+def _enum_value_pred(v: Column, val: Any) -> Column:
+    """Typed equality, numerics value-based (1 == 1.0)."""
+    if val is None:
+        return is_null(v)
+    if isinstance(val, bool):
+        return is_boolean(v) & (as_bool(v) == F.lit(val))
+    if isinstance(val, (int, float)):
+        return is_number(v) & (as_num(v) == F.lit(float(val)))
+    if isinstance(val, str):
+        return is_string(v) & (as_str(v) == F.lit(val))
+    # arrays / objects: canonical JSON text compare
+    return F.to_json(v) == F.lit(_json.dumps(val, separators=(",", ":")))
+
+
+def _elem_canonical(e: Column) -> Column:
+    """Normalization for uniqueItems equality: numbers to double string
+    (jesse_lib.erl:177-181), everything else canonical JSON."""
+    return F.when(is_number(e), as_num(e).cast("string")).otherwise(F.to_json(e))
+
+
+def _child(ctx: Ctx) -> Ctx:
+    return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth, ctx.extra_formats)
+
+
+def _guard(cond: Column, body: Column) -> Column:
+    """Type-guarded keyword: inapplicable type → valid (jesse no-op)."""
+    return F.when(cond, body).otherwise(F.lit(True))
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
+def compile_variant_checks(
+    schema: Any,
+    *,
+    registry: SchemaRegistry | None = None,
+    draft: int | None = None,
+    null_is_absent: bool = False,
+    _ctx: Ctx | None = None,
+    _path: str = "",
+) -> list[Check]:
+    if _ctx is None:
+        _ctx = Ctx(draft=detect_draft(schema) if draft is None else draft,
+                   registry=registry, root=schema)
+    ctx = _ctx
+    schema = normalize_schema(schema, ctx.draft)
+    schema = hoist_ref(schema)
+
+    checks: list[Check] = []
+
+    def add(constraint: str, pred: Builder, path: str = "",
+            observed: Builder | None = None) -> None:
+        checks.append(Check(constraint, _path + path, pred,
+                            observed or (lambda v: F.to_json(v))))
+
+    def sub_pred(sub: Any) -> Builder:
+        return compile_variant_pred(sub, ctx=_child(ctx))
+
+    # ---- $ref -----------------------------------------------------------
+    if "$ref" in schema:
+        if ctx.ref_depth >= MAX_REF_DEPTH:
+            raise SchemaError("schema_unsupported",
+                              f"$ref recursion deeper than {MAX_REF_DEPTH}")
+        reg = ctx.registry or SchemaRegistry()
+        target = reg.resolve_ref(schema["$ref"], ctx.root)
+        sub = Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth + 1,
+                  ctx.extra_formats)
+        return compile_variant_checks(target, null_is_absent=null_is_absent,
+                                      _ctx=sub, _path=_path)
+
+    # ---- type / disallow --------------------------------------------------
+    if "type" in schema:
+        decl = schema["type"]
+        names = decl if isinstance(decl, list) else [decl]
+        add(E.WRONG_TYPE,
+            lambda v, ns=names: _reduce_or([_type_name_pred(v, n, ctx) for n in ns]))
+    if ctx.draft == DRAFT3 and "disallow" in schema:
+        decl = schema["disallow"]
+        names = decl if isinstance(decl, list) else [decl]
+        add(E.NOT_ALLOWED,
+            lambda v, ns=names: ~_reduce_or([_type_name_pred(v, n, ctx) for n in ns]))
+
+    # ---- enum / const -------------------------------------------------------
+    if "enum" in schema:
+        vals = schema["enum"]
+        if not isinstance(vals, list):
+            raise SchemaError("schema_invalid", vals)
+        add(E.NOT_IN_ENUM,
+            lambda v, vs=vals: _reduce_or([_enum_value_pred(v, x) for x in vs]))
+    if ctx.draft >= DRAFT6 and "const" in schema:
+        add(E.NOT_IN_ENUM,
+            lambda v, x=schema["const"]: _enum_value_pred(v, x))
+
+    # ---- numeric ---------------------------------------------------------------
+    if "minimum" in schema:
+        m = schema["minimum"]
+        excl = ctx.draft <= DRAFT4 and schema.get("exclusiveMinimum") is True
+        add(E.NOT_IN_RANGE, lambda v, m=m, e=excl: _guard(
+            is_number(v), (as_num(v) > m) if e else (as_num(v) >= m)))
+    if "maximum" in schema:
+        m = schema["maximum"]
+        excl = ctx.draft <= DRAFT4 and schema.get("exclusiveMaximum") is True
+        add(E.NOT_IN_RANGE, lambda v, m=m, e=excl: _guard(
+            is_number(v), (as_num(v) < m) if e else (as_num(v) <= m)))
+    if ctx.draft >= DRAFT6:
+        for kw, op in (("exclusiveMinimum", "gt"), ("exclusiveMaximum", "lt")):
+            b = schema.get(kw)
+            if isinstance(b, (int, float)) and not isinstance(b, bool):
+                add(E.NOT_IN_RANGE, lambda v, b=b, op=op: _guard(
+                    is_number(v),
+                    (as_num(v) > b) if op == "gt" else (as_num(v) < b)))
+    kw = "divisibleBy" if ctx.draft == DRAFT3 else "multipleOf"
+    if kw in schema:
+        k = schema[kw]
+        code = E.NOT_DIVISIBLE if ctx.draft == DRAFT3 else E.NOT_MULTIPLE_OF
+        if not isinstance(k, (int, float)) or isinstance(k, bool):
+            raise SchemaError(E.NOT_MULTIPLE_OF, k)
+        if k == 0 and ctx.draft == DRAFT3:
+            add(code, lambda v: _guard(is_number(v), F.lit(False)))
+        elif k <= 0:
+            raise SchemaError("wrong_multiple_of", k)
+        else:
+            # jesse's float-tolerant formula (jesse_validator_draft4.erl:1019-1029)
+            add(code, lambda v, k=float(k): _guard(
+                is_number(v),
+                (as_num(v) / k - F.floor(as_num(v) / k)) * k == F.lit(0.0)))
+
+    # ---- string ------------------------------------------------------------------
+    if "minLength" in schema:
+        n = schema["minLength"]
+        add(E.WRONG_LENGTH, lambda v, n=n: _guard(is_string(v), F.length(as_str(v)) >= n))
+    if "maxLength" in schema:
+        n = schema["maxLength"]
+        add(E.WRONG_LENGTH, lambda v, n=n: _guard(is_string(v), F.length(as_str(v)) <= n))
+    if "pattern" in schema:
+        p = schema["pattern"]
+        try:
+            _pyre.compile(p)
+        except _pyre.error as exc:
+            raise SchemaError("schema_invalid", f"pattern {p!r}: {exc}")
+        add(E.NO_MATCH, lambda v, p=p: _guard(is_string(v), as_str(v).rlike(p)))
+    if "format" in schema and ctx.draft != DRAFT3:
+        fp = _format_pred(schema["format"], ctx)
+        add(E.WRONG_FORMAT, lambda v, fp=fp: _guard(is_string(v), fp(as_str(v))))
+
+    # ---- object -----------------------------------------------------------------
+    props: dict = schema.get("properties", {}) or {}
+    pattern_props: dict = schema.get("patternProperties", {}) or {}
+
+    req: list[str] = []
+    if ctx.draft >= DRAFT4:
+        r = schema.get("required")
+        if r is not None:
+            if not isinstance(r, list):
+                raise SchemaError("wrong_required_array", r)
+            req = list(r)
+    else:
+        req = [n for n, s in props.items()
+               if isinstance(s, dict) and s.get("required") is True]
+    for name in req:
+        add(E.MISSING_REQUIRED_PROPERTY,
+            lambda v, n=name: _guard(is_object(v), _present(as_map(v), n)),
+            observed=lambda v, n=name: F.lit(n))
+
+    for name, sub in props.items():
+        sp = sub_pred(sub)
+        add(E.NOT_SCHEMA_VALID,
+            lambda v, n=name, sp=sp: _guard(
+                is_object(v) & _present(as_map(v), n),
+                sp(F.element_at(as_map(v), F.lit(n)))),
+            path=f"/{name}",
+            observed=lambda v, n=name: F.to_json(F.element_at(as_map(v), F.lit(n))))
+
+    for pat, sub in pattern_props.items():
+        sp = sub_pred(sub)
+        add(E.NOT_SCHEMA_VALID,
+            lambda v, p=pat, sp=sp: _guard(is_object(v), F.forall(
+                F.filter(F.map_entries(as_map(v)),
+                         lambda e: e.getField("key").rlike(p)),
+                lambda e: sp(e.getField("value")))))
+
+    addl = schema.get("additionalProperties")
+    if addl is not None and addl is not True:
+        names = list(props.keys())
+        pats = list(pattern_props.keys())
+
+        def extra_keys(v: Column) -> Column:
+            def is_extra(k: Column) -> Column:
+                e = ~k.isin(*names) if names else F.lit(True)
+                for p in pats:
+                    e = e & ~k.rlike(p)
+                return e
+            return F.filter(F.map_keys(as_map(v)), is_extra)
+
+        if addl is False:
+            add(E.NO_EXTRA_PROPERTIES_ALLOWED,
+                lambda v: _guard(is_object(v), F.size(extra_keys(v)) == 0),
+                observed=lambda v: F.to_json(extra_keys(v)))
+        else:
+            ap = sub_pred(addl)
+            add(E.NOT_SCHEMA_VALID,
+                lambda v, ap=ap: _guard(is_object(v), F.forall(
+                    extra_keys(v),
+                    lambda k: ap(F.element_at(as_map(v), k)))))
+
+    if ctx.draft >= DRAFT6 and "propertyNames" in schema:
+        # names are plain strings → reuse the TYPED string compiler
+        np = compile_pred(schema["propertyNames"], T.StringType(), ctx=_child(ctx))
+        add(E.NOT_SCHEMA_VALID,
+            lambda v: _guard(is_object(v),
+                             F.forall(F.map_keys(as_map(v)), lambda k: np(k))))
+
+    for kw2, code, le in (("maxProperties", E.TOO_MANY_PROPERTIES, True),
+                          ("minProperties", E.TOO_FEW_PROPERTIES, False)):
+        if ctx.draft >= DRAFT4 and kw2 in schema:
+            n = schema[kw2]
+            if not isinstance(n, int) or isinstance(n, bool) or n < 0:
+                raise SchemaError("wrong_%s_properties" % ("max" if le else "min"), n)
+            add(code, lambda v, n=n, le=le: _guard(
+                is_object(v),
+                (F.size(F.map_keys(as_map(v))) <= n) if le
+                else (F.size(F.map_keys(as_map(v))) >= n)))
+
+    deps = schema.get("dependencies")
+    if isinstance(deps, dict):
+        for name, dep in deps.items():
+            if isinstance(dep, list):
+                for d in dep:
+                    add(E.MISSING_DEPENDENCY, lambda v, n=name, d=d: _guard(
+                        is_object(v) & _present(as_map(v), n),
+                        _present(as_map(v), d)),
+                        observed=lambda v, d=d: F.lit(d))
+            elif isinstance(dep, str) and ctx.draft == DRAFT3:
+                add(E.MISSING_DEPENDENCY, lambda v, n=name, d=dep: _guard(
+                    is_object(v) & _present(as_map(v), n),
+                    _present(as_map(v), d)),
+                    observed=lambda v, d=dep: F.lit(d))
+            else:
+                sp = sub_pred(dep)
+                add(E.MISSING_DEPENDENCY, lambda v, n=name, sp=sp: _guard(
+                    is_object(v) & _present(as_map(v), n), sp(v)))
+
+    # ---- array -----------------------------------------------------------------
+    items = schema.get("items")
+    if items is not None:
+        if isinstance(items, list):
+            for i, sub in enumerate(items):
+                sp = sub_pred(sub)
+                add(E.NOT_SCHEMA_VALID, lambda v, i=i, sp=sp: _guard(
+                    is_array(v) & (F.size(as_arr(v)) > i),
+                    sp(F.get(as_arr(v), i))),
+                    path=f"/{i}")
+            adl = schema.get("additionalItems")
+            if adl is False:
+                n = len(items)
+                add(E.NO_EXTRA_ITEMS_ALLOWED, lambda v, n=n: _guard(
+                    is_array(v), F.size(as_arr(v)) <= n))
+            elif isinstance(adl, (dict, bool)) and adl is not True:
+                ap = sub_pred(adl)
+                n = len(items)
+                add(E.NOT_SCHEMA_VALID, lambda v, n=n, ap=ap: _guard(
+                    is_array(v), F.forall(
+                        F.slice(as_arr(v), n + 1,
+                                F.greatest(F.size(as_arr(v)) - n, F.lit(0))),
+                        lambda x: ap(x))))
+        else:
+            sp = sub_pred(items)
+            add(E.NOT_SCHEMA_VALID, lambda v, sp=sp: _guard(
+                is_array(v), F.forall(as_arr(v), lambda x: sp(x))),
+                path="/*")
+
+    if "minItems" in schema:
+        n = schema["minItems"]
+        add(E.WRONG_SIZE, lambda v, n=n: _guard(is_array(v), F.size(as_arr(v)) >= n))
+    if "maxItems" in schema:
+        n = schema["maxItems"]
+        add(E.WRONG_SIZE, lambda v, n=n: _guard(is_array(v), F.size(as_arr(v)) <= n))
+    if schema.get("uniqueItems") is True:
+        add(E.NOT_UNIQUE, lambda v: _guard(
+            is_array(v),
+            F.size(F.array_distinct(F.transform(as_arr(v), _elem_canonical)))
+            == F.size(as_arr(v))))
+    if ctx.draft >= DRAFT6 and "contains" in schema:
+        cp = sub_pred(schema["contains"])
+        add(E.VALIDATION_ALWAYS_FAILS, lambda v, cp=cp: _guard(
+            is_array(v), F.exists(as_arr(v), lambda x: cp(x))))
+
+    # ---- combinators ------------------------------------------------------------
+    if ctx.draft >= DRAFT4:
+        if "allOf" in schema:
+            subs = schema["allOf"]
+            if not isinstance(subs, list) or not subs:
+                raise SchemaError("wrong_all_of_schema_array", subs)
+            ps = [sub_pred(s) for s in subs]
+            add(E.ALL_SCHEMAS_NOT_VALID,
+                lambda v, ps=ps: _reduce_and([p(v) for p in ps]))
+        if "anyOf" in schema:
+            subs = schema["anyOf"]
+            if not isinstance(subs, list) or not subs:
+                raise SchemaError("wrong_any_of_schema_array", subs)
+            ps = [sub_pred(s) for s in subs]
+            add(E.ANY_SCHEMAS_NOT_VALID,
+                lambda v, ps=ps: _reduce_or([p(v) for p in ps]))
+        if "oneOf" in schema:
+            subs = schema["oneOf"]
+            if not isinstance(subs, list) or not subs:
+                raise SchemaError("wrong_one_of_schema_array", subs)
+            ps = [sub_pred(s) for s in subs]
+
+            def cnt(v: Column, ps=ps) -> Column:
+                c = F.lit(0)
+                for p in ps:
+                    c = c + F.coalesce(p(v), F.lit(False)).cast("int")
+                return c
+            add(E.NOT_ONE_SCHEMA_VALID, lambda v: cnt(v) >= 1)
+            add(E.MORE_THAN_ONE_SCHEMA_VALID, lambda v: cnt(v) <= 1)
+        if "not" in schema:
+            p = sub_pred(schema["not"])
+            add(E.NOT_SCHEMA_VALID, lambda v, p=p: ~F.coalesce(p(v), F.lit(False)))
+    if ctx.draft == DRAFT3 and "extends" in schema:
+        subs = schema["extends"]
+        subs = subs if isinstance(subs, list) else [subs]
+        ps = [sub_pred(s) for s in subs]
+        add(E.ALL_SCHEMAS_NOT_VALID,
+            lambda v, ps=ps: _reduce_and([p(v) for p in ps]))
+
+    # ---- null/absent wrapper ----------------------------------------------------
+    # a SQL-null variant is an ABSENT value: every check passes (absent
+    # properties are skipped, jesse_validator_draft4.erl:380-400)
+    return [Check(c.constraint, c.path,
+                  (lambda pred: lambda v: F.when(v.isNull(), F.lit(True))
+                   .otherwise(pred(v)))(c.pred),
+                  c.observed)
+            for c in checks]
+
+
+def compile_variant_pred(
+    schema: Any,
+    *,
+    registry: SchemaRegistry | None = None,
+    draft: int | None = None,
+    ctx: Ctx | None = None,
+) -> Builder:
+    if ctx is None:
+        ctx = Ctx(draft=detect_draft(schema) if draft is None else draft,
+                  registry=registry, root=schema)
+    cs = compile_variant_checks(schema, _ctx=ctx)
+    if not cs:
+        return lambda v: F.lit(True)
+    return lambda v: _reduce_and([c.pred(v) for c in cs])
