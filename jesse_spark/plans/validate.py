@@ -42,9 +42,16 @@ def with_violations(
     *,
     violations_col: str = "violations",
     valid_col: str = "valid",
+    allowed_errors: int | None = None,
 ) -> DataFrame:
     """Add ``violations: array<struct>`` + ``valid: boolean`` in ONE
-    projection (single codegen stage, zero shuffles)."""
+    projection (single codegen stage, zero shuffles).
+
+    ``allowed_errors`` is jesse's error budget (jesse_state.erl:126-129,
+    jesse_error.erl:71-78): the default (None ≡ infinity) collects every
+    violation per row; a finite budget keeps only the first
+    ``allowed_errors + 1`` violations — enough to prove the budget was
+    exceeded, like jesse's throw-once-over-budget."""
     col = _instance_col(df) if instance is None else instance
     structs = [
         F.when(
@@ -57,7 +64,10 @@ def with_violations(
         )
         for c in checks
     ]
-    out = df.withColumn(violations_col, F.array_compact(F.array(*structs)))
+    arr = F.array_compact(F.array(*structs))
+    if allowed_errors is not None:
+        arr = F.slice(arr, 1, allowed_errors + 1)
+    out = df.withColumn(violations_col, arr)
     return out.withColumn(valid_col, F.size(violations_col) == 0)
 
 
@@ -129,4 +139,49 @@ def validate(
         violations=violation_rows(validated, key_cols),
         verdicts=partition_verdicts(validated),
         checks=list(checks),
+    )
+
+
+def array_violation_rows(
+    df: DataFrame,
+    array_col: str,
+    item_schema: Any,
+    key_cols: Sequence[str],
+    *,
+    registry: SchemaRegistry | None = None,
+    draft: int | None = None,
+) -> DataFrame:
+    """Per-ELEMENT violations with exact indices in the JSON pointer —
+    jesse appends the array index to the error path
+    (jesse_validator_draft4.erl:542-562 via jesse_state path stack).
+
+    The in-row forall() checks (compile_checks items handling) answer
+    pass/fail cheaply; this posexplode plan is the detail query you run
+    on the failing subset to recover `(key, /col/<i>/..., observed)`
+    rows.  Explode multiplies rows, so drive it AFTER filtering to rows
+    whose array actually failed."""
+    from pyspark.sql import types as T
+
+    dtype = df.schema[array_col].dataType
+    if not isinstance(dtype, T.ArrayType):
+        raise TypeError(f"{array_col} is not an array column")
+    checks = compile_checks(item_schema, dtype.elementType,
+                            registry=registry, draft=draft,
+                            null_is_absent=False)
+    exploded = df.select(
+        *key_cols,
+        F.posexplode(F.col(array_col)).alias("_pos", "_elem"),
+    )
+    validated = with_violations(
+        exploded, checks, instance=F.col("_elem"))
+    return (
+        validated.filter(F.size("violations") > 0)
+        .select(*key_cols, "_pos", F.explode("violations").alias("v"))
+        .select(
+            *key_cols,
+            F.col("v.constraint").alias("constraint"),
+            F.concat(F.lit(f"/{array_col}/"), F.col("_pos").cast("string"),
+                     F.col("v.path")).alias("path"),
+            F.col("v.observed").alias("observed"),
+        )
     )
