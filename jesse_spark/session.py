@@ -31,7 +31,11 @@ def get_spark(
         # payloads per row, so 10k-row batches would materialize multi-GB
         # buffers per task and thrash memory (measured 3-10x slowdown)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # binary-payload rows are ~10-100 KB; the default 4096-row
+        # columnar batch puts >100 MB per reader task on the heap and
+        # OOMs at 32 concurrent tasks — 512 keeps batches ~tens of MB
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
