@@ -121,31 +121,49 @@ SCALING_PATH = CLIPS_PATH + f"_scale{N_SCALING}"
 
 
 def _one_scaling_run(cpus: int) -> dict:
-    """Child process: identical clips job at a given parallelism."""
+    """Child process: identical clips job at a given parallelism —
+    one warm-up pass (JIT, page cache, python workers), one timed."""
     from jesse_spark.session import get_spark
 
     spark = get_spark(f"scale-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
     materialize_clips(spark, N_SCALING, SCALING_PATH, 32)
-    # warm-up pass (JIT, page cache, python workers), then best of 3
     run_clip_suite(spark, SCALING_PATH)
-    best = min(run_clip_suite(spark, SCALING_PATH)["wall"] for _ in range(3))
-    rows = N_SCALING
+    wall = run_clip_suite(spark, SCALING_PATH)["wall"]
     spark.stop()
-    return {"cpus": cpus, "wall": best, "clips_per_sec": rows / best}
+    return {"cpus": cpus, "wall": wall, "clips_per_sec": N_SCALING / wall}
+
+
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
 def main_scaling() -> None:
-    results = []
-    for cpus in (8, 32):
-        # fresh JVM per level so thread pools/memory don't leak across runs
-        out = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus)],
-            capture_output=True, text=True, check=True)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
-    r8, r32 = results
+    """Interleave the two levels (8,32,8,32,...) and take per-level
+    medians: this sandbox is a shared VM (steal time, noisy
+    neighbors), so measuring the levels minutes apart would fold host
+    drift into the efficiency number."""
+    samples: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(SCALING_ROUNDS):
+        for cpus in (8, 32):
+            # fresh JVM per run so heap/GC state never leaks across levels
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cpus)],
+                capture_output=True, text=True, check=True)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            samples[cpus].append(json.loads(line))
+    r8 = {"cpus": 8, "wall": _median([s["wall"] for s in samples[8]]),
+          "clips_per_sec": _median([s["clips_per_sec"] for s in samples[8]]),
+          "samples": [round(s["wall"], 2) for s in samples[8]]}
+    r32 = {"cpus": 32, "wall": _median([s["wall"] for s in samples[32]]),
+           "clips_per_sec": _median([s["clips_per_sec"] for s in samples[32]]),
+           "samples": [round(s["wall"], 2) for s in samples[32]]}
     eff = (r32["clips_per_sec"] / r8["clips_per_sec"]) / (32 / 8)
     md = f"""# BENCH — measured baseline
 
@@ -157,12 +175,14 @@ deterministic synthetic clips table ({N_SCALING} clips, FIXTURES.md §1).
 ## Two-cluster-size scaling (sandbox protocol, BASELINE.md)
 
 Same job, same input, two parallelism levels (stand-in for N vs 4N
-executors). Best of 3 timed runs after warm-up, fresh JVM per level.
+executors). {SCALING_ROUNDS} interleaved rounds (8,32,8,32,...), fresh
+JVM and a warm-up pass per run, per-level medians — interleaving keeps
+shared-VM host noise (steal time) from biasing one level.
 
-| parallelism | wall (s) | clips/sec |
-|---|---|---|
-| local[8]  (N)  | {r8['wall']:.2f} | {r8['clips_per_sec']:.0f} |
-| local[32] (4N) | {r32['wall']:.2f} | {r32['clips_per_sec']:.0f} |
+| parallelism | median wall (s) | clips/sec | wall samples (s) |
+|---|---|---|---|
+| local[8]  (N)  | {r8['wall']:.2f} | {r8['clips_per_sec']:.0f} | {r8['samples']} |
+| local[32] (4N) | {r32['wall']:.2f} | {r32['clips_per_sec']:.0f} | {r32['samples']} |
 
 **Scaling efficiency (T_4N/T_N)/4 = {eff:.3f}** (gate: ≥ 0.8 — {"PASS" if eff >= 0.8 else "FAIL"})
 
