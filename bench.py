@@ -198,7 +198,16 @@ def main_scaling() -> None:
            "wall": _median([s["wall"] for s in samples[LEVEL_4N]]),
            "clips_per_sec": _median([s["clips_per_sec"] for s in samples[LEVEL_4N]]),
            "samples": [round(s["wall"], 2) for s in samples[LEVEL_4N]]}
-    eff = (r32["clips_per_sec"] / r8["clips_per_sec"]) / (LEVEL_4N / LEVEL_N)
+    # host throughput fluctuates ~3x on minute timescales, so the
+    # efficiency estimator is the MEDIAN OF PER-ROUND RATIOS — each
+    # ratio compares the two levels measured back-to-back inside one
+    # round, cancelling host drift that spans rounds
+    ratios = [
+        (samples[LEVEL_4N][i]["clips_per_sec"] / samples[LEVEL_N][i]["clips_per_sec"])
+        / (LEVEL_4N / LEVEL_N)
+        for i in range(len(samples[LEVEL_N]))
+    ]
+    eff = _median(ratios)
     # hardware-ceiling control at the same levels (median of 3, interleaved)
     hw: dict[int, list[float]] = {LEVEL_N: [], LEVEL_4N: []}
     for _ in range(3):
@@ -227,7 +236,8 @@ host noise (steal time) from biasing one level.
 | local[{LEVEL_4N}] (4N) | {r32['wall']:.2f} | {r32['clips_per_sec']:.0f} | {r32['samples']} |
 
 **Job scaling efficiency (throughput_4N/throughput_N)/4 = {eff:.3f}**
-(gate: ≥ 0.8 — {"PASS" if eff >= 0.8 else "FAIL"})
+(median of per-round back-to-back ratios {[round(r, 3) for r in ratios]};
+gate: ≥ 0.8 — {"PASS" if eff >= 0.8 else "FAIL"})
 
 Hardware-ceiling control (plain multiprocessing+numpy, no Spark) at the
 same levels: efficiency {hw_eff:.3f}.  Normalized job/hardware
@@ -256,6 +266,7 @@ loops, per-partition verdicts.
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps({"nN": r8, "n4N": r32, "efficiency": round(eff, 3),
+                      "round_ratios": [round(r, 3) for r in ratios],
                       "hw_efficiency": round(hw_eff, 3),
                       "normalized_efficiency": round(norm_eff, 3)}))
 
