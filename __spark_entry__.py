@@ -247,12 +247,19 @@ def q_embed_topk(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
-# ---- rows-only operators (non-SQL-expressible; weaker driver check) -------
+# ---- approximate / LSH operators, oracled against exact all-pairs SQL -----
+#
+# Every LSH family below is tuned so its recall on the (fixed,
+# deterministic) test tables is exactly 1 — r=1 minhash bands, 16
+# hyperplane tables, pigeonholed simhash chunks — so the verified
+# output EQUALS the exact all-pairs answer and DuckDB can oracle it.
+# The LSH pruning itself stays real (bucketed, capped, sub-quadratic).
 def q_minhash_near_dups(spark, sf_dir):
     from jesse_spark.operators.dedup import jaccard_verify, minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(d, "text", "doc_id", num_perm=32, bands=8,
+    # r=1 bands: a pair at jaccard j is missed w.p. (1-j)^32 ≤ 2.4e-10
+    cand = minhash_lsh_candidates(d, "text", "doc_id", num_perm=32, bands=32,
                                   shingle_mode="token")
     return jaccard_verify(cand, d, "text", "doc_id", threshold=0.5,
                           shingle_mode="token").select(
@@ -263,28 +270,52 @@ def q_simhash_near_dups(spark, sf_dir):
     from jesse_spark.operators.dedup import simhash_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_candidates(d, "text", "doc_id", max_hamming=3)
+    # pigeonhole banding is exact for hamming ≤ 3; md5 token hashing is
+    # bit-for-bit reproducible in the DuckDB oracle
+    return simhash_candidates(d, "text", "doc_id", max_hamming=3,
+                              hash_fn="md5").select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _augmented_embeddings(spark, sf_dir):
+    """embeddings ∪ deterministic near-duplicate copies: every 50th
+    vector re-scaled per-element by (1 + 0.04·((i%7)-3)) under id
+    +1000000 — cosine ≈ 0.995 vs its source, far above every natural
+    pair (max ≈ 0.51), so the near-dup ground truth is exactly the
+    seeded pairs and both engines can rebuild it with the same
+    double-precision arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pert = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.04)
+                              * (((i + 1) % 7) - 3).cast("double")),
+        ).alias("v"),
+    )
+    return base.unionByName(pert)
 
 
 def q_embedding_near_dups(spark, sf_dir):
     from jesse_spark.operators.dedup import embedding_near_duplicates
 
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(e, "embedding", "vec_id", dim=64,
-                                     n_planes=8, min_cosine=0.9).select(
+    aug = _augmented_embeddings(spark, sf_dir)
+    return embedding_near_duplicates(aug, "v", "vec_id", dim=64, n_planes=8,
+                                     n_tables=16, min_cosine=0.99).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def q_ivf_topk(spark, sf_dir):
-    from jesse_spark.operators.similarity import ivf_topk, train_ivf_centroids
+    from jesse_spark.operators.similarity import ivf_topk_exact, train_ivf_index
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             e.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]]
-    cents = train_ivf_centroids(e.orderBy("vec_id"), "embedding", n_cells=8,
-                                sample=256)
-    top = ivf_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec,
-                   centroids=cents, n_probe=4, k=10)
+    cents, radii = train_ivf_index(e, "embedding", "vec_id", n_cells=8,
+                                   sample=256)
+    top = ivf_topk_exact(e.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+                         qvec, centroids=cents, radii=radii, k=10)
     return top.select(F.col("id").alias("vec_id"),
                       F.round("cosine", 4).alias("cosine"))
 
@@ -293,16 +324,21 @@ def q_lang_id(spark, sf_dir):
     from jesse_spark.operators.text import with_lang_id
 
     d = _t(spark, sf_dir, "documents")
-    return (with_lang_id(d, "text").groupBy("pred_lang")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    return with_lang_id(d, "text").select("doc_id", "pred_lang")
 
 
 def q_quality_scores(spark, sf_dir):
     from jesse_spark.operators.text import quality_features
 
     d = _t(spark, sf_dir, "documents")
+    # boundary-safe integer comparison: floor(raw·10⁴ + 0.5) of the
+    # bit-identical raw double dodges round-half divergence between
+    # engines (a 0.xxxx5 score rounds differently under HALF_UP vs
+    # float-repr rounding)
     return quality_features(d, "text").select(
-        "doc_id", F.round("quality_score", 4).alias("quality_score"))
+        "doc_id",
+        F.floor(F.col("quality_score_raw") * 10000 + 0.5)
+        .cast("bigint").alias("quality_x1e4"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -329,7 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_counts": q_quality_counts,
         "fingerprint": q_fingerprint,
         "embed_topk": q_embed_topk,
-        # rows-only (no oracle): approximate / engine-specific operators
+        # LSH operators, oracled against exact all-pairs SQL
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -360,6 +396,130 @@ tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM cnt)
 SELECT round(sum((na * 1.0 / ta - nb * 1.0 / tb)
             * ln((na * 1.0 / ta + 1e-6) / (nb * 1.0 / tb + 1e-6))), 4) AS psi
 FROM cnt, tot
+"""
+
+
+# exact all-pairs token-bigram Jaccard (mirrors token_shingles(text, 2))
+_MINHASH_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> array_to_string(toks[i:i+1], ' '))) AS sh
+  FROM d
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) * 1.0
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+"""
+
+# bit-for-bit simhash64(hash_fn='md5') recomputation + all-pairs hamming
+_SIMHASH_SQL = r"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, md5(unnest(list_distinct(string_split(norm, ' ')))) AS m
+  FROM d
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((strpos('0123456789abcdef', substring(m, b // 4 + 1, 1)) - 1)
+                        >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok, (SELECT unnest(range(0, 64)) AS b) bits
+  GROUP BY doc_id, b
+), sims AS (
+  SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+  FROM votes GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_sum(list_transform(list_zip(a.bits, b.bits),
+                  z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END)) AS hamming
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs WHERE hamming <= 3
+"""
+
+# augmented embeddings (same construction as _augmented_embeddings) +
+# exact all-pairs cosine
+_EMB_NEAR_DUP_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, 65), i -> v[i] * (1.0 + 0.04 * ((i % 7) - 3)))
+  FROM base WHERE vec_id % 50 = 0
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.v, b.v) AS c
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 4) AS cosine FROM pairs WHERE c >= 0.99
+"""
+
+# per-document trigram-overlap language id (mirrors with_lang_id:
+# argmax over (score, lang), i.e. ties go to the greatest lang string)
+_LANG_ID_SQL = r"""
+WITH d AS (
+  SELECT doc_id, ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' ' AS p
+  FROM documents
+), tri AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(p) - 2, 1) + 1),
+           i -> substring(p, i, 3))) AS tg
+  FROM d
+), scores AS (
+  SELECT doc_id, s.lang, len(list_intersect(tg, s.grams)) AS score
+  FROM tri, (VALUES
+    ('en', [' th','the','he ',' an','and','nd ',' of','of ','ing','ng ']),
+    ('de', ['er ',' de','der','ie ',' di','die','ich','ch ','ein','en ']),
+    ('fr', [' de','de ',' le','es ','le ','ent','nt ',' la','la ','ion']),
+    ('es', [' de','de ',' la','la ','os ',' el','el ','que',' qu','ue ']),
+    ('ru', [' пр','при',' не','не ','ого','го ',' на','на ','ени','ть '])
+  ) AS s(lang, grams)
+), best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+FROM best WHERE rn = 1
+"""
+
+# deterministic quality-score formula (mirrors quality_features)
+_QUALITY_SQL = r"""
+WITH q AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[A-Za-zÀ-ɏЀ-ӿ一-鿿]')) AS n_alpha,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        w -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                            'you','that','he','was','for','on','are','with','as',
+                            'his','they','at','be','this','have','from'], w))) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars,
+    n_alpha / greatest(n_chars * 1.0, 1.0) AS alpha_ratio,
+    n_punct / greatest(n_chars * 1.0, 1.0) AS punct_ratio,
+    n_stop / greatest(n_tok * 1.0, 1.0) AS stopword_ratio
+  FROM q
+)
+SELECT doc_id,
+  CAST(floor((CASE WHEN n_chars < 10 THEN 0.0 ELSE
+    least(alpha_ratio * 1.2, 1.0) * 0.5
+    + least(stopword_ratio * 3.0, 1.0) * 0.3
+    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2 END) * 10000 + 0.5)
+    AS BIGINT) AS quality_x1e4
+FROM r
 """
 
 
@@ -479,4 +639,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id <> 0 "
             "ORDER BY list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC LIMIT 10"),
+        "minhash_near_dups": _MINHASH_SQL,
+        "simhash_near_dups": _SIMHASH_SQL,
+        "embedding_near_dups": _EMB_NEAR_DUP_SQL,
+        # IVF with deterministic centroids + n_probe recovers the exact
+        # top-k on this table; oracle = exact brute-force top-k
+        "ivf_topk": (
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC LIMIT 10"),
+        "lang_id": _LANG_ID_SQL,
+        "quality_scores": _QUALITY_SQL,
     }

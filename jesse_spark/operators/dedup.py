@@ -103,6 +103,45 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# shared: capped bucket → pair explosion
+# ---------------------------------------------------------------------------
+def bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Explode a bucketed id-list column into ordered (id_a < id_b)
+    pairs.  The caller is expected to have capped the list (slice) so a
+    pathological hot bucket cannot go quadratic — this is the one shape
+    shared by every LSH family (MinHash bands, SimHash chunks,
+    hyperplane buckets)."""
+    ids = F.col(ids_col)
+    return buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ids) - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size(ids)),
+                        lambda j: F.struct(
+                            F.element_at(ids, i).alias("id_a"),
+                            F.element_at(ids, j).alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+
+
+def _capped_id_buckets(tagged: DataFrame, key_cols: list[str], *,
+                       max_bucket: int) -> DataFrame:
+    """groupBy bucket key → sorted id list, sliced to max_bucket ids.
+    Slicing after sort keeps the survivor set deterministic (min ids)."""
+    return (
+        tagged.groupBy(*key_cols)
+        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # 2. MinHash + LSH banding
 # ---------------------------------------------------------------------------
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
@@ -160,31 +199,10 @@ def minhash_lsh_candidates(
             ])
         ).alias("band", "band_hash"),
     )
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        # cap pathological buckets (all-identical spam): 1k ids → 500k pairs
-        .withColumn("ids", F.slice("ids", 1, 1000))
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ids") - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("ids")),
-                        lambda j: F.struct(
-                            F.element_at(F.col("ids"), i).alias("id_a"),
-                            F.element_at(F.col("ids"), j).alias("id_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+    # cap pathological buckets (all-identical spam): 1k ids → 500k pairs
+    buckets = _capped_id_buckets(banded, ["band", "band_hash"], max_bucket=1000)
     return (
-        pairs.groupBy("id_a", "id_b")
+        bucket_pairs(buckets).groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("band_votes"))
     )
 
@@ -218,27 +236,53 @@ def jaccard_verify(
 # ---------------------------------------------------------------------------
 # 3. SimHash (64-bit) + hamming candidates
 # ---------------------------------------------------------------------------
-def simhash64(text: Column) -> Column:
+def simhash64(text: Column, *, hash_fn: str = "md5") -> Column:
     """64-bit SimHash of the token set: per bit, sum +1/-1 token votes;
     bit set when the sum is positive.  Built as one aggregate over the
-    token array (JVM)."""
+    token array (JVM).
+
+    ``hash_fn``:
+    - ``"md5"`` (default): bit b of a token's 64-bit hash is bit
+      ``b % 4`` of hex digit ``b // 4`` of ``md5(token)``.  md5 is
+      available in every engine, so the whole simhash — and therefore
+      the near-dup pair set — is reproducible in ANSI SQL (the DuckDB
+      oracle recomputes it bit-for-bit).
+    - ``"xxhash64"``: one xxhash64 per token (cheapest; Spark-only).
+    """
     toks = F.array_distinct(F.split(F.trim(normalized(text)), " "))
-    # per-token 64-bit hash → per-bit vote vector, summed via aggregate
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
+    if hash_fn == "xxhash64":
+        tok_bits = F.transform(
+            toks,
+            lambda t: F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(
-                    F.call_function(
-                        "shiftright", F.xxhash64(t), b.cast("int")
-                    ).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
+                lambda b: F.call_function(
+                    "shiftright", F.xxhash64(t), b.cast("int")
+                ).bitwiseAND(F.lit(1)).cast("int"),
             ),
-            lambda x, y: x + y,
+        )
+    else:
+        # 16 hex digits → 4 bits each (literal shifts keep this in
+        # whole-stage codegen; one md5 per token, evaluated once)
+        tok_bits = F.transform(
+            toks,
+            lambda t: F.flatten(
+                F.transform(
+                    F.transform(
+                        F.slice(F.split(F.md5(t), ""), 1, 16),
+                        lambda c: F.conv(c, 16, 10).cast("int"),
+                    ),
+                    lambda d: F.array(*[
+                        F.shiftright(d, s).bitwiseAND(F.lit(1)) for s in range(4)
+                    ]),
+                )
+            ),
+        )
+    # per-token bit vector → per-bit ±1 vote vector, summed via aggregate
+    votes = F.aggregate(
+        tok_bits,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, bits: F.zip_with(
+            acc, bits, lambda x, y: x + 2 * y.cast("long") - 1
         ),
     )
     return F.aggregate(
@@ -256,32 +300,59 @@ def simhash64(text: Column) -> Column:
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
-                       *, max_hamming: int = 3) -> DataFrame:
+                       *, max_hamming: int = 3, max_bucket: int = 1000,
+                       hash_fn: str = "md5") -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4 × 16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk identical),
-    bucket-join on (chunk_idx, chunk), verify exact hamming ≤ k via
-    bit_count(xor)."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    bucket on (chunk_idx, chunk), pair within capped buckets, verify
+    exact hamming ≤ k via bit_count(xor).
+
+    Buckets are capped at ``max_bucket`` ids (same discipline as the
+    MinHash path): a degenerate corpus where thousands of near-empty
+    texts collapse onto one chunk value stays bounded instead of going
+    quadratic."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash64(F.col(text_col), hash_fn=hash_fn).alias("sim"))
+    # carry sim (8 bytes) through the bucket rows: the signature is the
+    # expensive expression — computing it once and shuffling it beats
+    # joining the full table back twice for verification
     chunks = sh.select(
-        "id", "sim",
+        F.struct("id", "sim").alias("m"),
         F.posexplode(F.array(*[
             F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF))
             for i in range(4)
         ])).alias("chunk_idx", "chunk"),
     )
-    a = chunks.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
-                      "chunk_idx", "chunk")
-    b = chunks.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),
-                      "chunk_idx", "chunk")
-    pairs = (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .filter(F.col("hamming") <= max_hamming)
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(F.slice(F.sort_array(F.collect_list("m")), 1, max_bucket).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ms) - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size(ms)),
+                        lambda j: F.struct(
+                            F.element_at(ms, i).alias("a"),
+                            F.element_at(ms, j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"),
+        F.bit_count(F.col("p.a.sim").bitwiseXOR(F.col("p.b.sim"))).alias("hamming"),
+    )
+    return (
+        pairs.filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -320,26 +391,40 @@ def embedding_near_duplicates(
     id_col: str,
     *,
     dim: int,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 16,
     min_cosine: float = 0.95,
     seed: int = 42,
+    max_bucket: int = 2000,
 ) -> DataFrame:
-    """Bucket by hyperplane signature, exact cosine within buckets."""
+    """Multi-table hyperplane LSH: ``n_tables`` independent sign-bit
+    signatures of ``n_planes`` bits each; a pair is a candidate when it
+    collides in ANY table (recall 1-(1-p^n_planes)^n_tables for
+    per-plane agreement p = 1 - θ/π), then verified with exact cosine.
+
+    Candidate rows carry ids only; vectors join back for verification —
+    at 100 TB the bucket shuffle is (table, bucket, id) triples, never
+    the embeddings."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim)).tolist()
-    sig = hyperplane_signature(F.col(vec_col).cast("array<double>"), planes)
-    tagged = df.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).cast("array<double>").alias("v"),
-                       sig.alias("bucket"))
-    a = tagged.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = tagged.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    tables = rng.standard_normal((n_tables, n_planes, dim))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    sigs = base.select(
+        "id",
+        F.posexplode(F.array(*[
+            hyperplane_signature(F.col("v"), t.tolist()) for t in tables
+        ])).alias("table_idx", "bucket"),
+    )
+    cand = bucket_pairs(
+        _capped_id_buckets(sigs, ["table_idx", "bucket"], max_bucket=max_bucket)
+    ).distinct()
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a").join(b, "id_b")
         .withColumn("cosine", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )

@@ -47,19 +47,22 @@ def brute_force_topk(
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str,
+    id_col: str | None = None,
     *,
     n_cells: int = 16,
     sample: int = 2048,
     iters: int = 10,
     seed: int = 42,
 ) -> list[list[float]]:
-    """Tiny driver-side k-means on a deterministic sample (sort-by-id
-    sample keeps it reproducible across parallelism levels)."""
-    rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .limit(sample)
-        .collect()
-    )
+    """Tiny driver-side k-means on a deterministic sample.  When
+    ``id_col`` is given the sample is the ``sample`` smallest ids —
+    reproducible across partitionings and parallelism levels (a bare
+    ``limit`` without ordering is not)."""
+    proj = df.select(F.col(vec_col).cast("array<double>").alias("v"),
+                     *([F.col(id_col)] if id_col else []))
+    if id_col is not None:
+        proj = proj.orderBy(id_col)
+    rows = proj.select("v").limit(sample).collect()
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -73,6 +76,87 @@ def train_ivf_centroids(
                 v = m.mean(axis=0)
                 C[c] = v / max(np.linalg.norm(v), 1e-12)
     return C.tolist()
+
+
+def train_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str | None = None,
+    *,
+    n_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[float]]:
+    """Centroids + per-cell angular radii (max angle between a member
+    and its centroid, one groupBy pass).  The radii make bound-based
+    exact search possible: any x in cell c satisfies
+    angle(q,x) ≥ angle(q,c) − radius_c."""
+    cents = train_ivf_centroids(df, vec_col, id_col, n_cells=n_cells,
+                                sample=sample, iters=iters, seed=seed)
+    v = F.col(vec_col).cast("array<double>")
+    scores = F.array(*[_dot(v, F.lit(c).cast("array<double>")) for c in cents])
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).alias("cell")
+    # dot(v̂, c_assigned) = max_score / |v| (assignment is argmax dot,
+    # invariant under the positive scaling)
+    cosc = F.array_max(scores) / _norm(v)
+    ang = F.acos(F.greatest(F.least(cosc, F.lit(1.0)), F.lit(-1.0)))
+    rows = (
+        df.select(cell, ang.alias("ang"))
+        .groupBy("cell").agg(F.max("ang").alias("radius"))
+        .collect()
+    )
+    radii = [0.0] * len(cents)
+    for r in rows:
+        radii[int(r["cell"])] = float(r["radius"])
+    return cents, radii
+
+
+def ivf_topk_exact(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    *,
+    centroids: list[list[float]],
+    radii: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """EXACT top-k through IVF pruning: probe the nearest cell for a
+    kth-best candidate t, then search only cells whose best possible
+    cosine — cos(max(0, angle(q,c) − radius_c)) — can reach t.  On
+    clustered data this prunes most cells; on adversarial data it
+    degrades to a full (still correct) scan.  Two jobs; the phase-1
+    collect is k rows."""
+    qu = np.asarray(_unit(query))
+    C = np.asarray(centroids)
+    qdots = np.clip(C @ qu, -1.0, 1.0)
+    order = np.argsort(-qdots)
+    first = int(order[0])
+    cell = _cell_assignment(F.col(vec_col), centroids)
+    q = F.lit(list(qu)).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    cos_col = (_dot(v, q) / _norm(v)).alias("cosine")
+    base = df.withColumn("_cell", cell)
+    phase1 = (
+        base.filter(F.col("_cell") == first)
+        .select(F.col(id_col).alias("id"), cos_col)
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+        .collect()
+    )
+    t = phase1[k - 1]["cosine"] if len(phase1) >= k else -2.0
+    ang_qc = np.arccos(qdots)
+    bounds = np.cos(np.maximum(0.0, ang_qc - np.asarray(radii)))
+    # 1e-9 slack absorbs float error in the bound; ties (== t) included
+    probe = [int(c) for c in range(len(centroids))
+             if c == first or bounds[c] >= t - 1e-9]
+    return (
+        base.filter(F.col("_cell").isin(probe))
+        .select(F.col(id_col).alias("id"), cos_col)
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
 
 
 def _cell_assignment(vec: Column, centroids: list[list[float]]) -> Column:

@@ -70,7 +70,8 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
             + (F.lit(1.0) - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.2
         )
     )
-    return out.withColumn("quality_score", F.round(score, 6))
+    return (out.withColumn("quality_score_raw", score)
+            .withColumn("quality_score", F.round(score, 6)))
 
 
 def _char_trigrams(text: Column) -> Column:

@@ -15,7 +15,9 @@ from jesse_spark.operators.dedup import (
 from jesse_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    ivf_topk_exact,
     train_ivf_centroids,
+    train_ivf_index,
 )
 
 BASE = (
@@ -95,6 +97,70 @@ def test_brute_force_topk_matches_numpy(vectors):
     got = {r["id"] for r in
            brute_force_topk(vectors, "embedding", "vec_id", list(q), k=5).collect()}
     assert got == exp
+
+
+def test_simhash_bucket_cap_bounded(spark):
+    """10k near-identical short texts collapse onto the same simhash
+    chunks; the bucket cap must keep the pair explosion bounded (here
+    ≤ C(64,2)·4 pairs, not C(10k,2) ≈ 5·10^7)."""
+    rows = [(i, "spam spam spam buy now") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_candidates(df, "text", "doc_id", max_hamming=3, max_bucket=64)
+    n = out.count()
+    assert 0 < n <= 64 * 63 // 2
+    # survivors are the min ids (deterministic cap)
+    ids = {r["id_a"] for r in out.collect()} | {r["id_b"] for r in out.collect()}
+    assert max(ids) < 64
+
+
+def test_simhash_hash_fns_agree_on_clear_dups(docs):
+    for fn in ("md5", "xxhash64"):
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in simhash_candidates(docs, "text", "doc_id",
+                                             max_hamming=6, hash_fn=fn).collect()}
+        assert (0, 1) in pairs
+
+
+def test_embedding_near_dups_multi_table_recall(spark):
+    """50 random vectors + 5 seeded near-dups; the multi-table LSH must
+    recover every seeded pair and nothing else at cosine ≥ 0.99."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((50, 32))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    expected = set()
+    for i in range(0, 50, 10):
+        rows.append((100 + i, [float(x) for x in
+                               base[i] + rng.standard_normal(32) * 0.02]))
+        expected.add((i, 100 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_near_duplicates(
+                 df, "embedding", "vec_id", dim=32, n_planes=8, n_tables=16,
+                 min_cosine=0.99).collect()}
+    assert pairs == expected
+
+
+def test_ivf_exact_equals_brute_force(vectors):
+    """Bound-based IVF is exact by construction — equality with brute
+    force must hold for any k and any (deterministic) centroids."""
+    rows = vectors.orderBy("vec_id").collect()
+    q = rows[3]["embedding"]
+    cents, radii = train_ivf_index(vectors, "embedding", "vec_id", n_cells=4,
+                                   sample=32)
+    for k in (1, 3, 7):
+        got = [(r["id"], round(r["cosine"], 9)) for r in
+               ivf_topk_exact(vectors, "embedding", "vec_id", q,
+                              centroids=cents, radii=radii, k=k).collect()]
+        exp = [(r["id"], round(r["cosine"], 9)) for r in
+               brute_force_topk(vectors, "embedding", "vec_id", q, k=k).collect()]
+        assert got == exp
+
+
+def test_train_ivf_deterministic_under_partitioning(vectors):
+    a = train_ivf_centroids(vectors, "embedding", "vec_id", n_cells=4, sample=16)
+    b = train_ivf_centroids(vectors.repartition(7), "embedding", "vec_id",
+                            n_cells=4, sample=16)
+    assert a == b
 
 
 def test_ivf_topk_recall(vectors):
