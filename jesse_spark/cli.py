@@ -33,8 +33,6 @@ def _read_input(spark, path: str):
 
 
 def cmd_validate(args) -> int:
-    from jesse_spark.plans.checkpoint import (
-        CheckpointManager, input_snapshot_id, shard_verdicts, with_shard)
     from jesse_spark.plans.pipeline import run_full_suite
     from jesse_spark.plans.report import write_json_reports, write_violations
     from jesse_spark.session import get_spark
@@ -46,35 +44,102 @@ def cmd_validate(args) -> int:
     codecs = _read_input(spark, args.codecs) if args.codecs else codecs_df(spark)
 
     t0 = time.time()
-    cm = snap = None
-    if args.checkpoint_dir:
-        snap = input_snapshot_id(spark, args.input)
-        cm = CheckpointManager(spark, args.checkpoint_dir)
-        clips = with_shard(clips, args.key, args.shards)
-        clips = cm.pending(clips, args.run_id, snap)
+    if not args.checkpoint_dir:
+        # plain one-shot run: overwrite outputs, verdict from this run
+        res = run_full_suite(clips, codecs, schema=schema,
+                             with_audio=not args.no_audio)
+        write_violations(res.violations, args.output)
+        if args.json_reports:
+            write_json_reports(res.validated, args.json_reports, key_col=args.key)
+        verd = res.verdicts.agg(
+            F.sum("rows").alias("rows"),
+            F.sum("invalid_rows").alias("invalid")).head()
+        rows, invalid = verd["rows"] or 0, verd["invalid"] or 0
+        print(json.dumps({
+            "rows": rows, "invalid_rows": invalid,
+            "wall_sec": round(time.time() - t0, 2),
+            "violations_path": args.output,
+        }))
+        spark.stop()
+        # halt(1) on any failing instance, like the reference CLI
+        return 1 if invalid > 0 else 0
 
-    res = run_full_suite(clips, codecs, schema=schema,
-                         with_audio=not args.no_audio)
-    write_violations(res.violations, args.output)
-    if args.json_reports:
-        write_json_reports(res.validated, args.json_reports, key_col=args.key)
+    rows_this_run = _validate_checkpointed(spark, args, clips, codecs, schema)
+    from jesse_spark.plans.checkpoint import CheckpointManager, input_snapshot_id
 
-    if cm is not None:
-        cm.record(args.run_id, snap, shard_verdicts(res.validated),
-                  wall_sec=time.time() - t0)
-
-    verd = res.verdicts.agg(
-        F.sum("rows").alias("rows"),
-        F.sum("invalid_rows").alias("invalid")).head()
+    cm = CheckpointManager(spark, args.checkpoint_dir)
+    snap = input_snapshot_id(spark, args.input)
+    # run verdict = union of ALL completed shards' manifests, so a
+    # resumed (or re-run) invocation reports and exits on the whole run,
+    # not just the shards it happened to process
+    rows, invalid = cm.run_totals(args.run_id, snap)
     print(json.dumps({
-        "rows": verd["rows"] or 0,
-        "invalid_rows": verd["invalid"] or 0,
+        "rows": rows, "invalid_rows": invalid,
+        "rows_this_run": rows_this_run,
         "wall_sec": round(time.time() - t0, 2),
         "violations_path": args.output,
     }))
     spark.stop()
-    # halt(1) on any failing instance, like the reference CLI
-    return 1 if (verd["invalid"] or 0) > 0 else 0
+    return 1 if invalid > 0 else 0
+
+
+def _validate_checkpointed(spark, args, clips, codecs, schema) -> int:
+    """Resumable run: shards are processed in ``--shard-batches`` groups;
+    each group's violations/reports land in per-shard partitions via
+    DYNAMIC partition overwrite (completed shards' output is never
+    touched), and its manifest rows are recorded as the group finishes —
+    so a crash loses at most one in-flight group and a resume re-does
+    only shards with no manifest."""
+    from jesse_spark.plans.checkpoint import (
+        CheckpointManager, input_snapshot_id, shard_expr, shard_verdicts,
+        with_shard)
+    from jesse_spark.plans.pipeline import run_full_suite
+
+    snap = input_snapshot_id(spark, args.input)
+    cm = CheckpointManager(spark, args.checkpoint_dir)
+    done = set(cm.completed_shards(args.run_id, snap))
+    pending = [s for s in range(args.shards) if s not in done]
+    sharded = with_shard(clips, args.key, args.shards)
+    # only this run's shard partitions are replaced; completed shards
+    # from earlier (crashed/partial) invocations survive
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    n_batches = max(1, min(args.shard_batches, len(pending) or 1))
+    rows_this_run = 0
+    for b in range(n_batches):
+        batch = [s for s in pending if s % n_batches == b]
+        if not batch:
+            continue
+        tb = time.time()
+        part = sharded.filter(F.col("_shard").isin(batch))
+        res = run_full_suite(part, codecs, schema=schema,
+                             with_audio=not args.no_audio,
+                             ignore_cols=("_shard",))
+        viol = res.violations.withColumn("_shard", shard_expr(args.key, args.shards))
+        (viol.write.mode("overwrite").partitionBy("_shard", "constraint")
+         .parquet(args.output))
+        if args.json_reports:
+            from jesse_spark.plans.report import per_row_reports
+
+            rep = per_row_reports(res.validated, key_col=args.key).withColumn(
+                "_shard", shard_expr(args.key, args.shards))
+            rep.write.mode("overwrite").partitionBy("_shard").json(args.json_reports)
+        # manifest covers EVERY shard of the batch (incl. empty ones),
+        # else a rowless shard would stay pending forever; collect once
+        # (≤ |batch| tiny rows) so the suite isn't re-evaluated
+        got = {r["shard"]: r for r in shard_verdicts(res.validated).collect()}
+        sv_rows = [
+            (s,
+             int(got[s]["rows"]) if s in got else 0,
+             int(got[s]["invalid_rows"]) if s in got else 0,
+             bool(got[s]["passed"]) if s in got else True)
+            for s in batch
+        ]
+        svdf = spark.createDataFrame(
+            sv_rows, "shard int, rows long, invalid_rows long, passed boolean")
+        cm.record(args.run_id, snap, svdf, wall_sec=time.time() - tb)
+        rows_this_run += sum(r[1] for r in sv_rows)
+    return rows_this_run
 
 
 def main(argv=None) -> int:
@@ -90,6 +155,9 @@ def main(argv=None) -> int:
     v.add_argument("--checkpoint-dir", default=None)
     v.add_argument("--run-id", default="run-default")
     v.add_argument("--shards", type=int, default=256)
+    v.add_argument("--shard-batches", type=int, default=1,
+                   help="process shards in N groups, checkpointing after "
+                        "each (crash loses at most one group)")
     v.add_argument("--json-reports", default=None)
     v.add_argument("--no-audio", action="store_true")
     v.set_defaults(fn=cmd_validate)

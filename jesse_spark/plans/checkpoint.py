@@ -47,10 +47,17 @@ def input_snapshot_id(spark: SparkSession, path: str) -> str:
     return hashlib.md5(blob.encode()).hexdigest()
 
 
+def shard_expr(key: str, num_shards: int):
+    """Shard id as a pure function of the key — recomputable on ANY
+    DataFrame carrying the key column (violations, reports), which is
+    what lets per-shard outputs be written without joins."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(num_shards)).cast("int")
+
+
 def with_shard(df: DataFrame, key: str, num_shards: int) -> DataFrame:
     """Deterministic, data-derived shard id — stable across cluster
     sizes (the property that makes checkpoints portable N → 4N)."""
-    return df.withColumn("_shard", F.pmod(F.xxhash64(F.col(key)), F.lit(num_shards)).cast("int"))
+    return df.withColumn("_shard", shard_expr(key, num_shards))
 
 
 class CheckpointManager:
@@ -90,6 +97,28 @@ class CheckpointManager:
                     "passed", "wall_sec", "finished_at")
         )
         out.write.mode("append").parquet(self.dir)
+
+    def run_totals(self, run_id: str, snapshot_id: str) -> tuple[int, int]:
+        """(rows, invalid_rows) across ALL completed shards of the run —
+        the verdict a resumed/re-run invocation must report (a completed
+        run keeps exiting non-zero if any shard ever saw invalid rows).
+        Deduplicates on shard keeping the latest manifest."""
+        try:
+            m = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.dir)
+        except Exception:
+            return 0, 0
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard").orderBy(F.desc("finished_at"))
+        tot = (
+            m.filter((F.col("run_id") == run_id) & (F.col("snapshot_id") == snapshot_id))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .agg(F.coalesce(F.sum("rows"), F.lit(0)).alias("r"),
+                 F.coalesce(F.sum("invalid_rows"), F.lit(0)).alias("i"))
+            .head()
+        )
+        return int(tot["r"]), int(tot["i"])
 
 
 def shard_verdicts(validated: DataFrame, *, valid_col: str = "valid") -> DataFrame:

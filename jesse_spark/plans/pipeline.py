@@ -51,6 +51,7 @@ def run_full_suite(
     schema: dict | None = None,
     with_audio: bool = True,
     persist: bool = True,
+    ignore_cols: tuple[str, ...] = ("_shard",),
 ) -> SuiteResult:
     """``persist=True`` caches a NARROW projection (no ``bytes``) of the
     row-suite output so the four consumers (violation rows, verdicts,
@@ -63,12 +64,22 @@ def run_full_suite(
 
     At 10^12 rows set persist=False: the narrow projection no longer
     fits cache economically and recomputing the codegen row suite per
-    consumer is cheaper than materialization."""
+    consumer is cheaper than materialization.
+
+    ``ignore_cols`` names harness columns (checkpoint shard ids etc.)
+    that must stay OUT of the validated instance: the constraint schema
+    (additionalProperties: false) is compiled against the data columns
+    only, so a ``_shard`` column added by the resume machinery is not
+    reported as an extra property."""
     from pyspark import StorageLevel
+    from pyspark.sql import types as T
 
     schema = schema or CLIPS_CONSTRAINT_SCHEMA
-    checks = compile_checks(schema, clips.schema, null_is_absent=True)
-    validated = with_violations(clips, checks)
+    data_cols = [c for c in clips.columns if c not in set(ignore_cols)]
+    data_type = T.StructType([clips.schema[c] for c in data_cols])
+    inst = F.struct(*[F.col(c) for c in data_cols])
+    checks = compile_checks(schema, data_type, null_is_absent=True)
+    validated = with_violations(clips, checks, instance=inst)
 
     narrow = validated.drop("bytes")
     if persist:
@@ -78,10 +89,10 @@ def run_full_suite(
 
     parts = [row_v.select(*VIOLATION_COLS)]
     if with_audio:
-        from jesse_spark.plans.validate import _instance_col, fail_fast_pred
+        from jesse_spark.plans.validate import fail_fast_pred
 
         passing = clips.filter(
-            fail_fast_pred(checks, _instance_col(clips))
+            fail_fast_pred(checks, inst)
         ).select("clip_id", "bytes", "codec", "sr_hz", "transcript")
         checked = with_audio_checks(passing)
         parts.append(audio_violations(checked).select(*VIOLATION_COLS))

@@ -63,30 +63,87 @@ def test_per_row_reports(spark):
     assert reports[2]["errors"][0]["error"] == "missing_required_property"
 
 
-def test_cli_end_to_end(spark, tmp_path):
-    """Full CLI: generate clips, validate, violations written, exit=1
-    (invalid rows present), resume skips completed shards."""
-    from jesse_spark.sources.fixtures import clips_df
+def _cli_stats(r):
+    return json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
 
+
+def _violation_set(spark, out):
+    v = spark.read.parquet(out)
+    return set(map(tuple, v.select("clip_id", "constraint", "path")
+                   .toPandas().values.tolist()))
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """Full CLI with checkpointing: the EXACT injected violation set is
+    recovered (harness _shard column must not leak into validation), a
+    re-run keeps the output intact and still exits 1 on the run's
+    overall verdict, and batched shards accumulate instead of clobber."""
+    from jesse_spark.sources.fixtures import clips_df, expected_violations
+
+    n = 120
     inp = str(tmp_path / "clips")
-    clips_df(spark, 120).write.parquet(inp)
+    clips_df(spark, n).write.parquet(inp)
     out = str(tmp_path / "violations")
     reports = str(tmp_path / "reports")
     ckpt = str(tmp_path / "ckpt")
     cmd = [sys.executable, "-m", "jesse_spark.cli", "validate",
            "--input", inp, "--output", out, "--master", "local[2]",
            "--checkpoint-dir", ckpt, "--run-id", "t1", "--shards", "4",
-           "--json-reports", reports]
+           "--shard-batches", "2", "--json-reports", reports]
     r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 1, r.stderr[-2000:]   # invalid rows → halt(1)
-    stats = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
-    assert stats["rows"] == 120 and stats["invalid_rows"] > 0
-    v = spark.read.parquet(out)
-    assert v.count() > 0 and set(v.columns) >= {"clip_id", "path", "observed"}
-    # resume: all shards recorded → nothing pending → rows == 0
+    stats = _cli_stats(r)
+    assert stats["rows"] == n and stats["invalid_rows"] > 0
+    assert stats["rows_this_run"] == n
+    exp = set(map(tuple, expected_violations(n).values.tolist()))
+    assert _violation_set(spark, out) == exp
+    rep = spark.read.json(reports)
+    assert rep.count() == n
+
+    # re-run of a completed run: nothing reprocessed, output NOT
+    # clobbered, exit code still reflects the whole run's verdict
     r2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
-    stats2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
-    assert stats2["rows"] == 0 and r2.returncode == 0
+    stats2 = _cli_stats(r2)
+    assert r2.returncode == 1
+    assert stats2["rows"] == n and stats2["rows_this_run"] == 0
+    assert _violation_set(spark, out) == exp
+
+
+def test_cli_resume_skips_completed_shards(spark, tmp_path):
+    """A manifest recorded for some shards (simulating a partial run)
+    makes the next invocation process only the remainder, and the run
+    verdict sums manifests across both 'invocations'."""
+    from jesse_spark.plans.checkpoint import (
+        CheckpointManager, input_snapshot_id, shard_expr, with_shard)
+    from jesse_spark.sources.fixtures import clips_df
+
+    n, shards = 80, 4
+    inp = str(tmp_path / "clips")
+    clips_df(spark, n).write.parquet(inp)
+    ckpt = str(tmp_path / "ckpt")
+    snap = input_snapshot_id(spark, inp)
+    counts = {r["_shard"]: r["count"]
+              for r in with_shard(spark.read.parquet(inp), "clip_id", shards)
+              .groupBy("_shard").count().collect()}
+    pre_done = [0, 2]
+    cm = CheckpointManager(spark, ckpt)
+    cm.record("t2", snap, spark.createDataFrame(
+        [(s, counts.get(s, 0), 0, True) for s in pre_done],
+        "shard int, rows long, invalid_rows long, passed boolean"), wall_sec=0.0)
+
+    out = str(tmp_path / "violations")
+    cmd = [sys.executable, "-m", "jesse_spark.cli", "validate",
+           "--input", inp, "--output", out, "--master", "local[2]",
+           "--checkpoint-dir", ckpt, "--run-id", "t2", "--shards", str(shards),
+           "--no-audio"]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    stats = _cli_stats(r)
+    remaining = n - sum(counts.get(s, 0) for s in pre_done)
+    assert stats["rows_this_run"] == remaining
+    assert stats["rows"] == n   # totals = pre-recorded + this run
+    # output contains only shards 1,3 violations (0,2 were "done")
+    v = spark.read.parquet(out).withColumn("s", shard_expr("clip_id", shards))
+    assert set(r["s"] for r in v.select("s").distinct().collect()) <= {1, 3}
 
 
 def test_streaming_validation(spark, tmp_path):
