@@ -207,50 +207,82 @@ def _type_pred(decl: Any, dtype: T.DataType, col: Column, ctx: Ctx,
 
 
 # ---------------------------------------------------------------------------
-# enum / const — deep equality incl. 1 == 1.0 (jesse_lib.erl:218-261)
+# enum / const — deep equality incl. 1 == 1.0, order-insensitive objects
+# (jesse_lib.erl:218-261; normalize_and_sort jesse_lib.erl:147-197)
 # ---------------------------------------------------------------------------
+def _typed_deep_eq(col: Column, dtype: T.DataType, val: Any) -> Column:
+    """Deep structural equality between a typed column and a Python JSON
+    literal: object properties order-INsensitive (compared per key, so
+    the literal's dict order never matters), arrays order-sensitive,
+    numbers value-equal across int/float (1 == 1.0) — jesse's is_equal
+    (jesse_lib.erl:218-261).  Null-safe: never returns SQL NULL."""
+    st = json_types_of(dtype)
+    if val is None:
+        # JSON null; struct-field null ≡ absent is the documented
+        # deviation (ARCHITECTURE.md), conflated here as in _present
+        return col.isNull()
+    if isinstance(val, bool):
+        return F.coalesce(col == F.lit(val), F.lit(False)) if "boolean" in st else F.lit(False)
+    if isinstance(val, (int, float)):
+        if not ("number" in st or "integer" in st):
+            return F.lit(False)
+        return F.coalesce(col.cast("double") == F.lit(float(val)), F.lit(False))
+    if isinstance(val, str):
+        return F.coalesce(col == F.lit(val), F.lit(False)) if "string" in st else F.lit(False)
+    if isinstance(val, list):
+        if not isinstance(dtype, T.ArrayType):
+            return F.lit(False)
+        body = F.coalesce(F.size(col) == len(val), F.lit(False))
+        for i, x in enumerate(val):
+            body = body & _typed_deep_eq(F.get(col, i), dtype.elementType, x)
+        return body
+    if isinstance(val, dict):
+        if isinstance(dtype, T.StructType):
+            names = set(dtype.fieldNames())
+            if not set(val).issubset(names):
+                return F.lit(False)  # literal key the static type can't hold
+            body = col.isNotNull()
+            for f in dtype.fieldNames():
+                fc = _struct_get(col, f)
+                if f in val:
+                    body = body & _typed_deep_eq(fc, dtype[f].dataType, val[f])
+                else:
+                    body = body & fc.isNull()  # extra property ⇒ unequal
+            return body
+        if isinstance(dtype, T.MapType):
+            body = F.coalesce(F.size(F.map_keys(col)) == len(val), F.lit(False))
+            for k, x in val.items():
+                body = (body & F.coalesce(F.map_contains_key(col, F.lit(k)), F.lit(False))
+                        & _typed_deep_eq(_map_get(col, k), dtype.valueType, x))
+            return body
+        return F.lit(False)
+    return F.lit(False)
+
+
 def _enum_pred(values: list, dtype: T.DataType, col: Column,
                null_is_absent: bool) -> Column:
     st = json_types_of(dtype)
     has_null = any(v is None for v in values)
-    compat: list = []
-    for v in values:
-        if v is None:
-            continue
+    nonnull = [v for v in values if v is not None]
+
+    def _scalar_compat(v: Any) -> bool:
         if isinstance(v, bool):
-            ok = "boolean" in st
-        elif isinstance(v, (int, float)):
-            ok = "number" in st or "integer" in st  # 1 == 1.0 via numeric compare
-        elif isinstance(v, str):
-            ok = "string" in st
-        elif isinstance(v, list):
-            ok = "array" in st
-        elif isinstance(v, dict):
-            ok = "object" in st
-        else:
-            ok = False
-        if ok:
-            compat.append(v)
-    if not compat:
-        body = F.lit(False)
-    elif all(isinstance(v, (int, float, str, bool)) and not isinstance(v, bool) or isinstance(v, bool)
-             for v in compat) and not any(isinstance(v, (list, dict)) for v in compat):
-        body = col.isin(*compat)
-    elif all(isinstance(v, list) for v in compat) and isinstance(dtype, T.ArrayType):
-        body = F.lit(False)
-        for v in compat:
-            body = body | (col == F.lit(v))
+            return "boolean" in st
+        if isinstance(v, (int, float)):
+            return "number" in st or "integer" in st
+        return isinstance(v, str) and "string" in st
+
+    if nonnull and all(isinstance(v, (bool, int, float, str)) for v in nonnull) \
+            and not isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+        compat = [v for v in nonnull if _scalar_compat(v)]
+        # isin coerces to a common type, giving 1 == 1.0 for free
+        body = col.isin(*compat) if compat else F.lit(False)
     else:
-        # object-valued enum against struct column: canonical JSON compare
-        import json as _json
         body = F.lit(False)
-        for v in compat:
-            if isinstance(v, dict) and isinstance(dtype, T.StructType):
-                body = body | (F.to_json(col) == F.lit(_json.dumps(v, separators=(",", ":"))))
-            else:
-                body = body | F.lit(False)
+        for v in nonnull:
+            body = body | _typed_deep_eq(col, dtype, v)
     null_ok = F.lit(null_is_absent or has_null)
-    return F.when(col.isNull(), null_ok).otherwise(body)
+    return F.when(col.isNull(), null_ok).otherwise(F.coalesce(body, F.lit(False)))
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +307,57 @@ def _present(col: Column, dtype: T.DataType, name: str) -> Column:
     if isinstance(dtype, T.MapType):
         return F.map_contains_key(col, F.lit(name))
     return F.lit(False)
+
+
+def _contains_map(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
+def _typed_canonical(col: Column, dtype: T.DataType) -> Column:
+    """Canonical text rendering for equality grouping (uniqueItems over
+    elements containing maps, which Spark can't compare natively):
+    map entries key-SORTED (order-insensitive objects,
+    jesse_lib.erl:147-197 normalize_and_sort), numbers as double.
+    Struct fields render in sorted-name order for symmetry."""
+    if isinstance(dtype, _NUMERIC):
+        return F.coalesce(col.cast("double").cast("string"), F.lit("null"))
+    if isinstance(dtype, T.StructType):
+        parts = [
+            F.concat(F.lit(f'"{f.name}":'),
+                     _typed_canonical(_struct_get(col, f.name), f.dataType))
+            for f in sorted(dtype.fields, key=lambda f: f.name)
+        ]
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}")))
+    if isinstance(dtype, T.MapType):
+        entries = F.array_sort(
+            F.map_entries(col),
+            lambda a, b: F.when(a.getField("key") < b.getField("key"), F.lit(-1))
+            .when(a.getField("key") > b.getField("key"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        inner = F.array_join(
+            F.transform(entries, lambda e: F.concat(
+                F.lit('"'), e.getField("key").cast("string"), F.lit('":'),
+                _typed_canonical(e.getField("value"), dtype.valueType))),
+            ",")
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit("{"), inner, F.lit("}")))
+    if isinstance(dtype, T.ArrayType):
+        inner = F.array_join(
+            F.transform(col, lambda e: _typed_canonical(e, dtype.elementType)), ",")
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit("["), inner, F.lit("]")))
+    if _is_string(dtype):
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit('"'), col.cast("string"), F.lit('"')))
+    return F.coalesce(col.cast("string"), F.lit("null"))
 
 
 def _prop_count(col: Column, dtype: T.DataType) -> Column:
@@ -667,10 +750,19 @@ def _array_checks(schema: dict, dtype: T.ArrayType, ctx: Ctx, path: str) -> list
     if schema.get("uniqueItems") is True:
         # in-row fast path: exact distinct-count equality — same check as
         # jesse's O(n) set-cardinality phase (D4:846-855); numeric 1==1.0
-        # holds because the array has one static element type
-        checks.append(Check(E.NOT_UNIQUE, path,
-                            lambda c: _null_skip(c, F.size(F.array_distinct(c)) == F.size(c)),
-                            lambda c: _as_str(c)))
+        # holds because the array has one static element type.  Elements
+        # containing maps can't be compared natively: canonicalize
+        # (key-sorted entries — order-insensitive like jesse_lib:147-197)
+        if _contains_map(elem):
+            checks.append(Check(
+                E.NOT_UNIQUE, path,
+                lambda c: _null_skip(c, F.size(F.array_distinct(
+                    F.transform(c, lambda e: _typed_canonical(e, elem)))) == F.size(c)),
+                lambda c: _as_str(c)))
+        else:
+            checks.append(Check(E.NOT_UNIQUE, path,
+                                lambda c: _null_skip(c, F.size(F.array_distinct(c)) == F.size(c)),
+                                lambda c: _as_str(c)))
 
     items = schema.get("items")
     if items is not None:
@@ -747,11 +839,48 @@ def _combinator_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str,
             subs = schema["anyOf"]
             if not isinstance(subs, list) or not subs:
                 raise SchemaError("wrong_any_of_schema_array", subs)
-            preds = [combined(s) for s in subs]
+            branch_checks = [
+                compile_checks(s, dtype, null_is_absent=null_is_absent,
+                               _ctx=_child(ctx), _path="")
+                for s in subs
+            ]
+            preds = [
+                (lambda bc: (lambda c: _reduce_and([ch.pred(c) for ch in bc])
+                             if bc else F.lit(True)))(bc)
+                for bc in branch_checks
+            ]
             checks.append(Check(
                 E.ANY_SCHEMAS_NOT_VALID, path,
                 lambda c, ps=preds: _reduce_or([p(c) for p in ps]),
                 _as_str))
+            # shortest-error-branch detail: when every branch fails,
+            # additionally surface the violations of the branch with the
+            # FEWEST failed checks — first such branch on ties
+            # (jesse_validator_draft4.erl:1156-1179 + shortest/2 :1365-1373)
+            if any(branch_checks):
+
+                def _fail_counts(c: Column) -> Column:
+                    per_branch = []
+                    for bc in branch_checks:
+                        cnt = F.lit(0)
+                        for ch in bc:
+                            cnt = cnt + (~F.coalesce(ch.pred(c), F.lit(False))).cast("int")
+                        per_branch.append(cnt)
+                    return F.array(*per_branch)
+
+                def _best_idx(c: Column) -> Column:  # 0-based, first shortest
+                    fc = _fail_counts(c)
+                    return F.array_position(fc, F.array_min(fc)) - 1
+
+                any_ok = lambda c: _reduce_or([p(c) for p in preds])  # noqa: E731
+                for i, bc in enumerate(branch_checks):
+                    for sc in bc:
+                        checks.append(Check(
+                            sc.constraint, path + sc.path,
+                            (lambda i=i, p=sc.pred: lambda c:
+                             any_ok(c) | (_best_idx(c) != i)
+                             | F.coalesce(p(c), F.lit(False)))(),
+                            sc.observed))
         if "oneOf" in schema:
             subs = schema["oneOf"]
             if not isinstance(subs, list) or not subs:

@@ -19,10 +19,11 @@ Semantics notes (mirroring the reference):
 - SQL NULL variant = absent (property missing); variant-encoded null =
   JSON ``null`` (a real value of type null) — exactly the distinction
   jesse gets from its proplists;
-- deep equality for enum/uniqueItems uses canonical JSON text for
-  object values, which is order-SENSITIVE for object keys (documented
-  deviation — jesse compares objects order-insensitively,
-  jesse_lib.erl:218-261; scalars and arrays match jesse exactly).
+- deep equality for enum/const is structural (per-key, recursive) and
+  uniqueItems canonicalizes with SORTED object keys at every level —
+  both order-INsensitive for object properties, order-sensitive for
+  arrays, 1 == 1.0, matching jesse_lib.erl:218-261 / 147-197 (the
+  uniqueItems canonicalization is depth-bounded at ``_CANON_DEPTH``).
 """
 
 from __future__ import annotations
@@ -154,7 +155,10 @@ def _type_name_pred(v: Column, name: Any, ctx: Ctx) -> Column:
 
 
 def _enum_value_pred(v: Column, val: Any) -> Column:
-    """Typed equality, numerics value-based (1 == 1.0)."""
+    """Deep structural equality against a Python JSON literal:
+    order-INsensitive for object properties (per-key comparison),
+    order-sensitive for arrays, numerics value-based (1 == 1.0) —
+    jesse's is_equal (jesse_lib.erl:218-261)."""
     if val is None:
         return is_null(v)
     if isinstance(val, bool):
@@ -163,14 +167,57 @@ def _enum_value_pred(v: Column, val: Any) -> Column:
         return is_number(v) & (as_num(v) == F.lit(float(val)))
     if isinstance(val, str):
         return is_string(v) & (as_str(v) == F.lit(val))
-    # arrays / objects: canonical JSON text compare
-    return F.to_json(v) == F.lit(_json.dumps(val, separators=(",", ":")))
+    if isinstance(val, list):
+        arr = as_arr(v)
+        body = is_array(v) & (F.size(arr) == len(val))
+        for i, x in enumerate(val):
+            body = body & F.coalesce(_enum_value_pred(F.get(arr, i), x), F.lit(False))
+        return body
+    if isinstance(val, dict):
+        m = as_map(v)
+        body = is_object(v) & (F.size(F.map_keys(m)) == len(val))
+        for k, x in val.items():
+            body = (body & F.map_contains_key(m, F.lit(k))
+                    & F.coalesce(_enum_value_pred(F.element_at(m, F.lit(k)), x),
+                                 F.lit(False)))
+        return body
+    raise SchemaError("schema_invalid", f"unsupported enum value {val!r}")
 
 
-def _elem_canonical(e: Column) -> Column:
-    """Normalization for uniqueItems equality: numbers to double string
-    (jesse_lib.erl:177-181), everything else canonical JSON."""
-    return F.when(is_number(e), as_num(e).cast("string")).otherwise(F.to_json(e))
+_CANON_DEPTH = 6  # bounded recursion for canonical rendering
+
+
+def _elem_canonical(e: Column, depth: int = _CANON_DEPTH) -> Column:
+    """Normalization for uniqueItems equality (jesse_lib.erl:147-197
+    normalize_and_sort): numbers to double string (1 == 1.0), object
+    keys SORTED at every level (order-insensitive), arrays in order.
+    Beyond ``depth`` nesting falls back to to_json (order-sensitive) —
+    a documented bound, like MAX_REF_DEPTH."""
+    if depth <= 0:
+        return F.to_json(e)
+    entries = F.array_sort(
+        F.map_entries(as_map(e)),
+        lambda a, b: F.when(a.getField("key") < b.getField("key"), F.lit(-1))
+        .when(a.getField("key") > b.getField("key"), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    obj = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(entries, lambda ent: F.concat(
+                F.lit('"'), ent.getField("key"), F.lit('":'),
+                _elem_canonical(ent.getField("value"), depth - 1))),
+            ","),
+        F.lit("}"))
+    arr = F.concat(
+        F.lit("["),
+        F.array_join(F.transform(as_arr(e),
+                                 lambda x: _elem_canonical(x, depth - 1)), ","),
+        F.lit("]"))
+    return (F.when(is_number(e), as_num(e).cast("string"))
+            .when(is_object(e), obj)
+            .when(is_array(e), arr)
+            .otherwise(F.to_json(e)))
 
 
 def _child(ctx: Ctx) -> Ctx:
@@ -433,7 +480,8 @@ def compile_variant_checks(
     if schema.get("uniqueItems") is True:
         add(E.NOT_UNIQUE, lambda v: _guard(
             is_array(v),
-            F.size(F.array_distinct(F.transform(as_arr(v), _elem_canonical)))
+            F.size(F.array_distinct(
+                F.transform(as_arr(v), lambda x: _elem_canonical(x))))
             == F.size(as_arr(v))))
     if ctx.draft >= DRAFT6 and "contains" in schema:
         cp = sub_pred(schema["contains"])
@@ -453,9 +501,40 @@ def compile_variant_checks(
             subs = schema["anyOf"]
             if not isinstance(subs, list) or not subs:
                 raise SchemaError("wrong_any_of_schema_array", subs)
-            ps = [sub_pred(s) for s in subs]
+            branch_checks = [
+                compile_variant_checks(s, _ctx=_child(ctx)) for s in subs
+            ]
+            ps = [
+                (lambda bc: (lambda v: _reduce_and([c.pred(v) for c in bc])
+                             if bc else F.lit(True)))(bc)
+                for bc in branch_checks
+            ]
             add(E.ANY_SCHEMAS_NOT_VALID,
                 lambda v, ps=ps: _reduce_or([p(v) for p in ps]))
+            # shortest-error-branch detail (jesse_validator_draft4.erl:
+            # 1156-1179 + shortest/2 :1365-1373): when every branch
+            # fails, surface the first fewest-failures branch's codes
+            if any(branch_checks):
+
+                def _best_idx(v: Column) -> Column:
+                    per_branch = []
+                    for bc in branch_checks:
+                        cnt = F.lit(0)
+                        for c in bc:
+                            cnt = cnt + (~F.coalesce(c.pred(v), F.lit(False))).cast("int")
+                        per_branch.append(cnt)
+                    fc = F.array(*per_branch)
+                    return F.array_position(fc, F.array_min(fc)) - 1
+
+                any_ok = lambda v, ps=ps: _reduce_or([p(v) for p in ps])  # noqa: E731
+                for i, bc in enumerate(branch_checks):
+                    for sc in bc:
+                        add(sc.constraint,
+                            (lambda i=i, p=sc.pred: lambda v:
+                             any_ok(v) | (_best_idx(v) != i)
+                             | F.coalesce(p(v), F.lit(False)))(),
+                            path=sc.path,
+                            observed=sc.observed)
         if "oneOf" in schema:
             subs = schema["oneOf"]
             if not isinstance(subs, list) or not subs:

@@ -214,8 +214,13 @@ CASES = [
     ({**D4, "allOf": [{"minimum": 2}, {"maximum": 5}]}, 7,
      ["all_schemas_not_valid"]),
     ({**D4, "anyOf": [{"minimum": 10}, {"maximum": 3}]}, 2, True),
+    # total failure also surfaces the shortest-error branch's own codes
+    # (jesse_validator_draft4.erl:1365-1373)
     ({**D4, "anyOf": [{"minimum": 10}, {"maximum": 3}]}, 5,
-     ["any_schemas_not_valid"]),
+     ["any_schemas_not_valid", "not_in_range"]),
+    # branch 1 fails 2 checks, branch 0 fails 1 → branch 0's code only
+    ({**D4, "anyOf": [{"multipleOf": 7}, {"minimum": 10, "multipleOf": 2}]}, 5,
+     ["any_schemas_not_valid", "not_multiple_of"]),
     ({**D4, "oneOf": [{"minimum": 5}, {"maximum": 3}]}, 7, True),
     ({**D4, "oneOf": [{"minimum": 5}, {"maximum": 10}]}, 7,
      ["more_than_one_schema_valid"]),
@@ -257,3 +262,57 @@ def test_conformance(spark, schema, data, expected):
         run_case(spark, schema, data, expected)
         return
     run_case(spark, schema, data, expected)
+
+
+# ---------------------------------------------------------------------------
+# deep equality: order-insensitive objects (jesse_lib.erl:218-261)
+# ---------------------------------------------------------------------------
+DEEP_EQ_CASES = [
+    # literal dict order ≠ struct field order → still equal
+    ({**D4, "enum": [{"a": 1, "b": 2}]}, {"b": 2, "a": 1}, True),
+    ({**D6, "const": {"a": 1, "b": [1, 2]}}, {"b": [1, 2], "a": 1}, True),
+    ({**D6, "const": {"a": 1}}, {"a": 2}, ["not_in_enum"]),
+    # extra property ⇒ unequal
+    ({**D4, "enum": [{"a": 1}]}, {"a": 1, "c": 3}, ["not_in_enum"]),
+    # nested object, reordered at both levels
+    ({**D4, "enum": [{"o": {"x": 1, "y": 2}, "n": 5}]},
+     {"n": 5, "o": {"y": 2, "x": 1}}, True),
+    # numeric 1 == 1.0 inside objects
+    ({**D4, "enum": [{"a": 1}]}, {"a": 1.0}, True),
+    ({**D4, "enum": [[{"a": 1}]]}, [{"a": 1}], True),
+    ({**D4, "enum": [[{"a": 1}]]}, [{"a": 2}], ["not_in_enum"]),
+]
+
+
+@pytest.mark.parametrize("schema,data,expected", DEEP_EQ_CASES,
+                         ids=[f"deep{i}" for i in range(len(DEEP_EQ_CASES))])
+def test_deep_equality(spark, schema, data, expected):
+    run_case(spark, schema, data, expected)
+
+
+def test_enum_object_on_map_column(spark):
+    """Object enum against a MapType column: runtime key-set + value
+    comparison (previously always-False)."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"a": 1}), (3, {"a": 1, "b": 9})],
+        "id long, value map<string,bigint>")
+    checks = compile_checks({**D4, "enum": [{"b": 2, "a": 1}]},
+                            df.schema["value"].dataType, null_is_absent=False)
+    assert len(checks) == 1
+    rows = df.select("id", checks[0].pred(F.col("value")).alias("ok")) \
+             .orderBy("id").collect()
+    assert [r["ok"] for r in rows] == [True, False, False]
+
+
+def test_unique_items_map_elements(spark):
+    """uniqueItems over array<map>: native comparison is impossible, the
+    canonicalized check is key-order-insensitive."""
+    df = spark.createDataFrame(
+        [(1, [{"a": 1, "b": 2}, {"b": 2, "a": 1}]),   # same content → dup
+         (2, [{"a": 1}, {"a": 2}])],                   # distinct → unique
+        "id long, value array<map<string,bigint>>")
+    checks = compile_checks({**D4, "uniqueItems": True},
+                            df.schema["value"].dataType, null_is_absent=False)
+    rows = df.select("id", checks[0].pred(F.col("value")).alias("ok")) \
+             .orderBy("id").collect()
+    assert [r["ok"] for r in rows] == [False, True]

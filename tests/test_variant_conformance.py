@@ -128,3 +128,48 @@ HETERO_CASES = [
                          ids=[f"h{i}" for i in range(len(HETERO_CASES))])
 def test_heterogeneous(spark, schema, data, expect_valid):
     run_variant_case(spark, schema, data, expect_valid)
+
+
+# order-insensitive deep equality (jesse_lib.erl:218-261, 147-197) —
+# JSON text is parsed with keys in the GIVEN order, so these cases pin
+# that reordered keys still compare equal at every nesting level
+DEEP_EQ_VARIANT = [
+    ({**D4, "enum": [{"a": 1, "b": 2}]}, {"b": 2, "a": 1}, True),
+    ({**D6, "const": {"a": 1, "b": [1, {"c": 2, "d": 3}]}},
+     {"b": [1, {"d": 3, "c": 2}], "a": 1}, True),
+    ({**D4, "enum": [{"a": 1}]}, {"a": 1, "z": 0}, False),   # extra key
+    ({**D4, "enum": [{"a": 1}]}, {"a": 1.0}, True),          # 1 == 1.0 nested
+    ({**D4, "enum": [[{"a": 1, "b": 2}]]}, [{"b": 2, "a": 1}], True),
+    # uniqueItems: reordered objects ARE duplicates
+    ({**D4, "uniqueItems": True}, [{"a": 1, "b": 2}, {"b": 2, "a": 1}], False),
+    ({**D4, "uniqueItems": True}, [{"a": 1, "b": 2}, {"a": 1, "b": 3}], True),
+    ({**D4, "uniqueItems": True},
+     [{"o": {"x": 1, "y": 2}}, {"o": {"y": 2, "x": 1}}], False),  # nested
+    ({**D4, "uniqueItems": True}, [{"a": 1}, {"a": 1.0}], False),  # 1 == 1.0
+]
+
+
+@pytest.mark.parametrize("schema,data,expect_valid", DEEP_EQ_VARIANT,
+                         ids=[f"dq{i}" for i in range(len(DEEP_EQ_VARIANT))])
+def test_deep_equality_variant(spark, schema, data, expect_valid):
+    run_variant_case(spark, schema, data, expect_valid)
+
+
+def test_anyof_branch_detail_variant(spark):
+    """Total anyOf failure surfaces the shortest-error branch's own
+    violation codes (jesse_validator_draft4.erl:1365-1373)."""
+    import json as _j
+
+    from pyspark.sql import functions as F
+
+    schema = {**D4, "anyOf": [{"type": "string"},
+                              {"type": "integer", "minimum": 5}]}
+    checks = compile_variant_checks(schema)
+    df = spark.createDataFrame([(_j.dumps(3),)], "j string")
+    row = df.select(F.array_compact(F.array(*[
+        F.when(~F.coalesce(c.pred(F.parse_json(F.col("j"))), F.lit(False)),
+               F.lit(c.constraint)) for c in checks
+    ])).alias("codes")).head()
+    # branch 0 fails 1 check (wrong_type), branch 1 fails 1 (not_in_range);
+    # first-shortest = branch 0 → wrong_type detail
+    assert sorted(set(row["codes"])) == ["any_schemas_not_valid", "wrong_type"]
