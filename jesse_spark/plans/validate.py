@@ -142,6 +142,48 @@ def validate(
     )
 
 
+def variant_array_violation_rows(
+    df: DataFrame,
+    variant_col: str,
+    item_schema: Any,
+    key_cols: Sequence[str],
+    *,
+    registry: SchemaRegistry | None = None,
+    draft: int | None = None,
+) -> DataFrame:
+    """Variant-mode analog of :func:`array_violation_rows`: per-ELEMENT
+    violations with exact indices in the JSON pointer for a VARIANT
+    column holding a JSON array — jesse always appends the array index
+    to the error path (jesse_validator_draft4.erl:542-562 via the
+    jesse_state path stack), and dynamic (schema-on-read) data deserves
+    the same detail as typed data.
+
+    Rows whose variant is not an array are skipped (the whole-value
+    checks from compile_variant_checks cover those); like the typed
+    variant, run this on the failing subset — posexplode multiplies
+    rows."""
+    from jesse_spark.variant_compiler import compile_variant_checks, is_array
+
+    checks = compile_variant_checks(item_schema, registry=registry, draft=draft)
+    v = F.col(variant_col)
+    exploded = df.filter(v.isNotNull() & is_array(v)).select(
+        *key_cols,
+        F.posexplode(v.cast("array<variant>")).alias("_pos", "_elem"),
+    )
+    validated = with_violations(exploded, checks, instance=F.col("_elem"))
+    return (
+        validated.filter(F.size("violations") > 0)
+        .select(*key_cols, "_pos", F.explode("violations").alias("v"))
+        .select(
+            *key_cols,
+            F.col("v.constraint").alias("constraint"),
+            F.concat(F.lit(f"/{variant_col}/"), F.col("_pos").cast("string"),
+                     F.col("v.path")).alias("path"),
+            F.col("v.observed").alias("observed"),
+        )
+    )
+
+
 def array_violation_rows(
     df: DataFrame,
     array_col: str,

@@ -39,3 +39,58 @@ def test_array_violation_rows_nested(spark):
         df, "xs", {"type": "object", "properties": {"v": {"minimum": 0}}},
         ["id"]).collect()
     assert [(r["path"], r["constraint"]) for r in rows] == [("/xs/1/v", "not_in_range")]
+
+
+def test_variant_array_violation_rows_have_indices(spark):
+    """Variant-mode per-element paths — jesse appends the array index
+    (jesse_validator_draft4.erl:542-562)."""
+    import json
+
+    from jesse_spark.plans.validate import variant_array_violation_rows
+
+    df = spark.createDataFrame(
+        [(1, json.dumps([7, 3, "x"])), (2, json.dumps([9])),
+         (3, json.dumps({"not": "array"}))],
+        "id long, j string").select("id", F.parse_json("j").alias("xs"))
+    rows = variant_array_violation_rows(
+        df, "xs", {"type": "integer", "minimum": 5}, ["id"]).collect()
+    got = {(r["id"], r["path"], r["constraint"]) for r in rows}
+    assert got == {(1, "/xs/1", "not_in_range"), (1, "/xs/2", "wrong_type")}
+
+
+def test_allowed_errors_with_anyof_oneof(spark):
+    """Budget × combinator interplay — mirrors the reference regression
+    corpus (test/jesse_tests_draft4_SUITE_data/extra/
+    anyOfOneOfAllowedErrors*.json): the anyOf/oneOf VERDICT must be
+    identical under any budget; the budget only caps how many violation
+    structs are retained, never flips valid."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "type": "object",
+        "properties": {
+            "any_v": {"anyOf": [{"enum": [0]}, {"enum": [0, 1]}]},
+            "one_v": {"oneOf": [{"enum": [0]}, {"enum": [0, 1]}]},
+        },
+    }
+    # (any_v, one_v, expected_valid) — the reference's truth table:
+    # anyOf: 0,1 valid / 2 invalid; oneOf: 0 invalid (both match),
+    # 1 valid (exactly one), 2 invalid (none)
+    rows = [(0, 1, True), (1, 1, True), (2, 1, False),
+            (1, 0, False), (1, 2, False), (2, 0, False)]
+    df = spark.createDataFrame([(i, a, o) for i, (a, o, _) in enumerate(rows)],
+                               "id long, any_v int, one_v int")
+    checks = compile_checks(schema, df.schema, null_is_absent=True)
+    for budget in (0, 1, None):
+        got = {r["id"]: r["valid"]
+               for r in with_violations(df, checks, allowed_errors=budget)
+               .select("id", "valid").collect()}
+        for i, (_, _, ok) in enumerate(rows):
+            assert got[i] == ok, (budget, i, rows[i])
+    # budget 0 keeps exactly 1 violation struct on an invalid row, and
+    # anyOf failure detail (branch codes) never displaces the verdict
+    v = with_violations(df, checks, allowed_errors=0).filter("id = 2").head()
+    assert not v["valid"] and len(v["violations"]) == 1
+    full = with_violations(df, checks).filter("id = 2").head()
+    codes = {x["constraint"] for x in full["violations"]}
+    assert "any_schemas_not_valid" in codes
+    assert "not_in_enum" in codes  # shortest-branch detail under infinity
