@@ -27,9 +27,23 @@ from pyspark.sql import functions as F
 
 
 def _read_input(spark, path: str):
+    """Resolve the input reference (north_rule names Iceberg tables):
+
+    - ``iceberg:<catalog.db.table>[@<snapshot_id>]`` → Iceberg source,
+      optionally pinned to a snapshot (time-travel read) — requires the
+      Iceberg runtime jar on the classpath, hence gated on the prefix;
+    - a filesystem path → parquet directory (this sandbox's stand-in);
+    - anything else → catalog table.
+    """
+    if path.startswith("iceberg:"):
+        table, _, snap = path[len("iceberg:"):].partition("@")
+        reader = spark.read.format("iceberg")
+        if snap:
+            reader = reader.option("snapshot-id", snap)
+        return reader.load(table)
     if path.endswith(".parquet") or "/" in path:
         return spark.read.parquet(path)
-    return spark.read.table(path)  # Iceberg / catalog table
+    return spark.read.table(path)  # catalog table
 
 
 def cmd_validate(args) -> int:

@@ -39,7 +39,25 @@ MANIFEST_SCHEMA = (
 
 
 def input_snapshot_id(spark: SparkSession, path: str) -> str:
-    """Fingerprint of the input files (Iceberg-snapshot stand-in)."""
+    """Snapshot identity of the input.
+
+    - ``iceberg:<table>@<snapshot_id>`` → the pinned snapshot id itself
+      (the strongest identity: the manifest is tied to exactly that
+      snapshot's data);
+    - ``iceberg:<table>`` → the table's CURRENT snapshot id from the
+      ``<table>.snapshots`` metadata table (Iceberg runtime required);
+    - a filesystem path → a fingerprint of the file listing
+      (size+mtime) — the sandbox stand-in; a changed input invalidates
+      old checkpoints either way.
+    """
+    if path.startswith("iceberg:"):
+        table, _, snap = path[len("iceberg:"):].partition("@")
+        if snap:
+            return snap
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1").head()
+        return str(row["snapshot_id"])
     files = sorted(Path(path).rglob("*.parquet"))
     blob = json.dumps([(str(f), f.stat().st_size, int(f.stat().st_mtime)) for f in files])
     import hashlib

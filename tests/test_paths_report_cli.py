@@ -170,3 +170,35 @@ def test_streaming_validation(spark, tmp_path):
     assert sum(r["rows"] for r in rows) == 100
     assert sum(r["invalid_rows"] for r in rows) == 10
     assert len(rows) == 3 and not any(r["passed"] for r in rows)
+
+
+def test_iceberg_gated_source():
+    """iceberg:<table>[@snapshot] parsing → format('iceberg') +
+    snapshot-id option (gate mocked: no Iceberg jar in this sandbox)."""
+    from jesse_spark.cli import _read_input
+    from jesse_spark.plans.checkpoint import input_snapshot_id
+
+    class FakeReader:
+        def __init__(self):
+            self.fmt, self.opts = None, {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self, t):
+            return ("loaded", self.fmt, dict(self.opts), t)
+
+    class FakeSpark:
+        read = property(lambda self: FakeReader())
+
+    out = _read_input(FakeSpark(), "iceberg:cat.db.clips@123456")
+    assert out == ("loaded", "iceberg", {"snapshot-id": "123456"}, "cat.db.clips")
+    out = _read_input(FakeSpark(), "iceberg:cat.db.clips")
+    assert out == ("loaded", "iceberg", {}, "cat.db.clips")
+    # pinned snapshot IS the checkpoint identity — no cluster call
+    assert input_snapshot_id(None, "iceberg:cat.db.clips@98765") == "98765"
