@@ -301,7 +301,11 @@ def q_embedding_near_dups(spark, sf_dir):
     from jesse_spark.operators.dedup import embedding_near_duplicates
 
     aug = _augmented_embeddings(spark, sf_dir)
-    return embedding_near_duplicates(aug, "v", "vec_id", dim=64, n_planes=8,
+    # 16 planes × 16 tables: P(miss seeded pair at cos≥0.995) ≈ 3e-5
+    # (p_table = (1-θ/π)^16 ≈ 0.48, miss = (1-p)^16), verified exact on
+    # both SFs; 16-bit buckets keep the candidate set ~100x sparser
+    # than 8-bit ones (147k → ~2k pairs at sf0.1)
+    return embedding_near_duplicates(aug, "v", "vec_id", dim=64, n_planes=16,
                                      n_tables=16, min_cosine=0.99).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 

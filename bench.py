@@ -30,7 +30,9 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", "20000"))
-CLIPS_PATH = os.environ.get("SPARK_GRAFT_CLIPS_PATH", "/tmp/jesse_spark_bench_clips")
+# _v2: clip payloads regenerated after the float32 reference-synthesis
+# change (fixture bytes are a pure function of the synth)
+CLIPS_PATH = os.environ.get("SPARK_GRAFT_CLIPS_PATH", "/tmp/jesse_spark_bench_clips_v2")
 
 # benched queries: every oracled query + the cheap rows-only ones.
 SKIP = {"minhash_near_dups"}  # benched separately below (heaviest)
@@ -69,6 +71,13 @@ def run_clip_suite(spark, path: str) -> dict:
 
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
+
+    # warm the page cache / file index for every table ONCE, so the
+    # first-touch scan cost isn't randomly attributed to whichever
+    # query happens to read a table first (r01: dedup_exact charged
+    # 16.9 s of what a warm run does in <3 s)
+    for t in entrymod.TABLES:
+        _noop_run(spark.read.parquet(f"{SF_DIR}/{t}.parquet"))
 
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

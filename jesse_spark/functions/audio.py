@@ -124,15 +124,32 @@ def _id_seed(clip_id: str, stream: int) -> np.random.Generator:
     return np.random.default_rng([MASTER_SEED, h, stream])
 
 
+# float32 sin is ~2.6x faster than float64; its phase-precision loss is
+# bounded by the largest phase reached, so clips up to _F32_MAX_SECONDS
+# use f32 (measured worst synth-vs-f64 SNR 58-59 dB over the fixture
+# parameter space — 20+ dB above anything the 30 dB gate could notice
+# on top of G.711's ~38 dB quantization floor); longer clips fall back
+# to f64 so a 30 s @ 48 kHz clip keeps full reference precision.
+_F32_MAX_SECONDS = 4
+
+
 def synth_pcm(clip_id: str, sr_hz: int, n_samples: int) -> np.ndarray:
     """Reference waveform: sum of 1-3 sine tones, params keyed ONLY by
-    clip_id (stream 1) so any consumer can re-derive it."""
+    clip_id (stream 1) so any consumer can re-derive it.  Deterministic:
+    the rng parameter draws are always float64; only the waveform dtype
+    varies with clip length (see _F32_MAX_SECONDS)."""
     rng = _id_seed(clip_id, 1)
     n_tones = int(rng.integers(1, 4))
     freqs = rng.uniform(100.0, min(3500.0, sr_hz / 2 * 0.9), size=n_tones)
     phases = rng.uniform(0, 2 * np.pi, size=n_tones)
     amps = rng.uniform(0.2, 0.9, size=n_tones)
     amps = amps / amps.sum() * 0.8
+    if n_samples <= _F32_MAX_SECONDS * sr_hz:
+        t = np.arange(n_samples, dtype=np.float32) / np.float32(sr_hz)
+        x = np.zeros(n_samples, dtype=np.float32)
+        for f, p, a in zip(freqs, phases, amps):
+            x += np.float32(a) * np.sin(np.float32(2 * np.pi * f) * t + np.float32(p))
+        return np.round(x * np.float32(32767.0)).astype(np.int16)
     t = np.arange(n_samples, dtype=np.float64) / sr_hz
     x = np.zeros(n_samples, dtype=np.float64)
     for f, p, a in zip(freqs, phases, amps):
@@ -176,6 +193,30 @@ AUDIO_CHECK_SCHEMA = T.StructType([
 ])
 
 
+def _decode_batch(rw: np.ndarray, cod: np.ndarray) -> list:
+    """Vectorized per-codec decode of one Arrow batch: all of a codec's
+    payloads are concatenated and decoded in ONE numpy pass, then split
+    back by offset — the G.711 table math runs over the whole batch
+    instead of clip-at-a-time.  Unknown codec / null bytes → None."""
+    n = len(rw)
+    decoded: list = [None] * n
+    for codec_name, dec_fn in (("ulaw", ulaw_decode), ("alaw", alaw_decode)):
+        idx = np.nonzero(cod == codec_name)[0]
+        if len(idx) == 0:
+            continue
+        bufs = [rw[i] if rw[i] is not None else b"" for i in idx]
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+        dec_all = dec_fn(np.frombuffer(b"".join(bufs), dtype=np.uint8))
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        for j, i in enumerate(idx):
+            if rw[i] is not None:
+                decoded[i] = dec_all[offs[j]:offs[j + 1]]
+    for i in np.nonzero(cod == "pcm_s16le")[0]:
+        if rw[i] is not None:
+            decoded[i] = pcm16_decode(rw[i])  # zero-copy view
+    return decoded
+
+
 def _verify_batch(clip_id: pd.Series, raw: pd.Series, codec: pd.Series,
                   sr_hz: pd.Series, transcript: pd.Series) -> pd.DataFrame:
     n = len(clip_id)
@@ -186,15 +227,17 @@ def _verify_batch(clip_id: pd.Series, raw: pd.Series, codec: pd.Series,
     sr = sr_hz.to_numpy()
     tr = transcript.to_numpy(dtype=object)
     rw = raw.to_numpy(dtype=object)
-    for i in range(n):  # per-clip numpy work inside one Arrow batch
-        try:
-            dec = decode(rw[i], cod[i])
-            ref = synth_pcm(cid[i], int(sr[i]), len(dec))
-            snrs[i] = snr_db(ref, dec)
-        except Exception:
-            snrs[i] = -np.inf
+    decoded = _decode_batch(rw, cod)
+    for i in range(n):  # per-clip synth params force a loop; numpy inside
         t_ok[i] = (tr[i] is not None
                    and tr[i] == reference_transcript(cid[i]))
+        if decoded[i] is None:
+            continue  # unknown codec / null bytes → snr stays -inf
+        try:
+            ref = synth_pcm(cid[i], int(sr[i]), len(decoded[i]))
+            snrs[i] = snr_db(ref, decoded[i])
+        except Exception:
+            snrs[i] = -np.inf
     return pd.DataFrame({
         "snr_db": np.where(np.isfinite(snrs), snrs, -999.0),
         "audio_ok": snrs >= SNR_THRESHOLD_DB,

@@ -156,6 +156,9 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     expression referenced num_perm times; keeping it behind a
     projection boundary stops CollapseProject from re-inlining (and
     thus re-evaluating) it once per permutation."""
+    from jesse_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)  # hash-heavy per-row stage: use all cores
     sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
                        text_col, k=k, mode=shingle_mode).select("id", "sh")
     return sh.select(
@@ -219,6 +222,9 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (two broadcast-able
     joins against the shingle projection)."""
+    from jesse_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
                        text_col, k=k, mode=shingle_mode).select("id", "sh")
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -311,6 +317,9 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
     MinHash path): a degenerate corpus where thousands of near-empty
     texts collapse onto one chunk value stays bounded instead of going
     quadratic."""
+    from jesse_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)  # 64-bit vote aggregate is CPU-heavy
     sh = df.select(F.col(id_col).alias("id"),
                    simhash64(F.col(text_col), hash_fn=hash_fn).alias("sim"))
     # carry sim (8 bytes) through the bucket rows: the signature is the
@@ -385,6 +394,33 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def hyperplane_buckets(vec: Column, planes_flat: Column,
+                       n_tables: int, n_planes: int, dim: int) -> Column:
+    """All tables' sign-bit buckets at once: ``array<long>`` of length
+    ``n_tables``.  ``planes_flat`` is the row-major T×P×dim plane
+    tensor as one flat array<double> column — shipped as a broadcast
+    1-row DataFrame by the caller, NOT inlined as literals (16k lit()
+    elements cost ~8 s of py4j driver time, and the unrolled per-plane
+    expression tree costs seconds of janino compile).  Each plane is a
+    runtime ``slice``; the dots run as ``aggregate`` loops, keeping
+    whole-stage codegen small and the stage embarrassingly parallel."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc.bitwiseOR(
+                F.when(
+                    _dot(vec, F.slice(planes_flat,
+                                      (t * n_planes + p) * dim + 1, dim)) >= 0,
+                    F.call_function("shiftleft", F.lit(1).cast("long"),
+                                    p.cast("int")),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        ),
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str,
@@ -404,18 +440,25 @@ def embedding_near_duplicates(
 
     Candidate rows carry ids only; vectors join back for verification —
     at 100 TB the bucket shuffle is (table, bucket, id) triples, never
-    the embeddings."""
+    the embeddings.  The projection matrix travels as a broadcast
+    1-row DataFrame (an explicit broadcast of T·P·dim doubles), crossed
+    onto the scan — no shuffle, no giant literal."""
     import numpy as np
+
+    from jesse_spark.session import ensure_parallelism
 
     rng = np.random.default_rng(seed)
     tables = rng.standard_normal((n_tables, n_planes, dim))
-    base = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v"))
-    sigs = base.select(
+    planes_df = df.sparkSession.createDataFrame(
+        [(tables.reshape(-1).tolist(),)], "_planes array<double>")
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    sigs = base.crossJoin(F.broadcast(planes_df)).select(
         "id",
-        F.posexplode(F.array(*[
-            hyperplane_signature(F.col("v"), t.tolist()) for t in tables
-        ])).alias("table_idx", "bucket"),
+        F.posexplode(hyperplane_buckets(
+            F.col("v"), F.col("_planes"), n_tables, n_planes, dim))
+        .alias("table_idx", "bucket"),
     )
     cand = bucket_pairs(
         _capped_id_buckets(sigs, ["table_idx", "bucket"], max_bucket=max_bucket)

@@ -109,6 +109,9 @@ def with_lang_id(df: DataFrame, text_col: str, out: str = "pred_lang") -> DataFr
     referenced once per language; behind projection boundaries it is
     evaluated once per row instead of |langs|+ times (same
     CollapseProject consideration as the MinHash signature)."""
+    from jesse_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)  # per-row trigram work: use all cores
     best = F.array_max(_lang_scores(F.col("_tri")))
     return (
         df.withColumn("_chars", F.split(

@@ -42,3 +42,21 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Repartition UP when the scan yields fewer partitions than cores.
+
+    A small single-row-group parquet file cannot be split by the
+    reader, so expression-heavy per-row work (minhash signatures, LSH
+    projections, trigram scoring) would serialize onto one task no
+    matter how many cores the cluster has.  One round-robin shuffle of
+    the narrow input fixes that.  At 100 TB this is a NO-OP: the scan
+    already produces thousands of splits (>= defaultParallelism), so no
+    shuffle is added — the guard only fires in the small-file regime
+    where the shuffle is cheap by construction."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
