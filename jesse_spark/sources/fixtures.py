@@ -171,3 +171,57 @@ def codecs_df(spark: SparkSession) -> DataFrame:
         [("pcm_s16le", 16), ("ulaw", 8), ("alaw", 8)],
         "codec string, bits_per_sample int",
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic media table (multimodal operators)
+# ---------------------------------------------------------------------------
+MEDIA_KINDS = ("image_bmp", "image_ppm", "video_y4m", "audio_wav")
+
+
+def _gen_media_row(i: int) -> tuple:
+    """One media row, pure function of (index, master seed): smooth
+    gradient + seeded noise images, multi-frame Y4M videos whose frames
+    shift deterministically, WAV audio from the reference synthesis."""
+    from jesse_spark.functions import media_codecs as mc
+
+    rng = np.random.default_rng([audio.MASTER_SEED, 7, i])
+    kind = MEDIA_KINDS[i % len(MEDIA_KINDS)]
+    mid = f"media-{i:08d}"
+    if kind in ("image_bmp", "image_ppm"):
+        w = int(rng.integers(4, 17)) * 2
+        h = int(rng.integers(4, 17)) * 2
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * 255 // max(h - 1, 1))[..., None] * np.array([1, 0, 0]) \
+            + (xx * 255 // max(w - 1, 1))[..., None] * np.array([0, 1, 0])
+        img = np.clip(base + rng.integers(0, 64, size=(h, w, 3)), 0, 255).astype(np.uint8)
+        payload = mc.bmp_encode(img) if kind == "image_bmp" else mc.ppm_encode(img)
+        mime = "image/bmp" if kind == "image_bmp" else "image/x-portable-pixmap"
+        return (mid, payload, "image", mime, w, h, None, None)
+    if kind == "video_y4m":
+        w, h = 16, 12
+        n = int(rng.integers(3, 9))
+        base = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        frames = np.stack([np.roll(base, shift=f, axis=1) for f in range(n)])
+        return (mid, mc.y4m_encode(frames), "video", "video/x-yuv4mpeg", w, h, n, None)
+    sr = 8000
+    n_samp = int(rng.integers(sr // 10, sr // 2))
+    codec = ("pcm_s16le", "ulaw", "alaw")[i % 3]
+    pcm = audio.synth_pcm(mid, sr, n_samp)
+    return (mid, mc.wav_encode(pcm, sr, codec), "audio", "audio/wav",
+            None, None, None, sr)
+
+
+def media_df(spark: SparkSession, n: int, *, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic media table (BMP/PPM images, Y4M
+    videos, WAV audio — every payload a REAL container)."""
+    from jesse_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rng_range = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [_gen_media_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return rng_range.mapInPandas(gen, schema=MEDIA_SCHEMA)

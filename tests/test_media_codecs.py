@@ -1,0 +1,171 @@
+"""Real media codec kernels (BMP/PPM/Y4M/WAV) + multimodal operators
+over the deterministic media fixture — nothing here touches the
+stubbed compressed-format fallback."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jesse_spark.functions import audio
+from jesse_spark.functions import media_codecs as mc
+
+
+@pytest.fixture
+def rgb():
+    rng = np.random.default_rng(3)
+    return rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)  # odd width → padding
+
+
+def test_bmp_roundtrip_exact(rgb):
+    assert np.array_equal(mc.bmp_decode(mc.bmp_encode(rgb)), rgb)
+
+
+def test_bmp_row_padding():
+    # width 5 → stride 16 (not 15): padding bytes must be skipped
+    img = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    payload = mc.bmp_encode(img)
+    assert len(payload) == 54 + 16 * 3
+    assert np.array_equal(mc.bmp_decode(payload), img)
+
+
+def test_ppm_roundtrip_and_comments(rgb):
+    assert np.array_equal(mc.ppm_decode(mc.ppm_encode(rgb)), rgb)
+    # hand-built header with a comment line
+    raw = b"P6\n# a comment\n5 6\n255\n" + rgb.tobytes()
+    assert np.array_equal(mc.ppm_decode(raw), rgb)
+
+
+def test_image_decode_sniffs(rgb):
+    assert np.array_equal(mc.image_decode(mc.bmp_encode(rgb)), rgb)
+    assert np.array_equal(mc.image_decode(mc.ppm_encode(rgb)), rgb)
+    with pytest.raises(ValueError):
+        mc.image_decode(b"\x89PNG....")
+
+
+def test_y4m_info_and_random_access():
+    rng = np.random.default_rng(5)
+    # mid-range pixels: no RGB clipping, so the luminance identity
+    # lum(recon) == Y holds up to rounding (chroma terms cancel exactly
+    # in the BT.601 matrix product)
+    frames = rng.integers(64, 192, size=(4, 8, 10, 3), dtype=np.uint8)
+    payload = mc.y4m_encode(frames)
+    assert payload.startswith(b"YUV4MPEG2 W10 H8")
+    assert mc.y4m_info(payload) == (10, 8, 4)
+    # random access: frame 2 decodes without touching frames 0-1
+    got = mc.y4m_frame(payload, 2)
+    assert got.shape == (8, 10, 3)
+    lum = lambda a: (0.299 * a[..., 0] + 0.587 * a[..., 1]  # noqa: E731
+                     + 0.114 * a[..., 2])
+    assert np.abs(lum(got.astype(float)) - lum(frames[2].astype(float))).max() <= 3.0
+    with pytest.raises(IndexError):
+        mc.y4m_frame(payload, 4)
+
+
+def test_y4m_gray_roundtrip_near_exact():
+    # gray frames have flat chroma (u=v=128): 4:2:0 loses nothing
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 256, size=(2, 8, 10, 1), dtype=np.uint8)
+    frames = np.repeat(g, 3, axis=3)
+    payload = mc.y4m_encode(frames)
+    for i in range(2):
+        got = mc.y4m_frame(payload, i).astype(int)
+        assert np.abs(got - frames[i].astype(int)).max() <= 2
+
+
+def test_wav_roundtrips():
+    pcm = audio.synth_pcm("wavtest", 8000, 1600)
+    dec, sr, codec = mc.wav_decode(mc.wav_encode(pcm, 8000, "pcm_s16le"))
+    assert sr == 8000 and codec == "pcm_s16le"
+    assert np.array_equal(dec, pcm)
+    for c in ("ulaw", "alaw"):
+        dec, sr, codec = mc.wav_decode(mc.wav_encode(pcm, 8000, c))
+        assert codec == c and audio.snr_db(pcm, dec) >= audio.SNR_THRESHOLD_DB
+
+
+def test_wav_chunk_walk_with_extra_chunks():
+    pcm = audio.synth_pcm("wavtest2", 8000, 800)
+    payload = mc.wav_encode(pcm, 8000, "pcm_s16le")
+    # splice a LIST chunk between fmt and data (odd size → word align)
+    import struct
+
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    dec, sr, codec = mc.wav_decode(spliced)
+    assert np.array_equal(dec, pcm)
+
+
+# ---------------------------------------------------------------------------
+# operators over the deterministic media fixture (real decode end-to-end)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def media(spark):
+    from jesse_spark.sources.fixtures import media_df
+
+    return media_df(spark, 16).cache()
+
+
+def test_media_fixture_deterministic(spark):
+    from jesse_spark.sources.fixtures import media_df
+
+    a = media_df(spark, 12).orderBy("media_id").toPandas()
+    b = media_df(spark, 12, partitions=5).orderBy("media_id").toPandas()
+    assert list(a["media_id"]) == list(b["media_id"])
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["payload"], b["payload"]))
+
+
+def test_image_features_match_numpy_golden(media):
+    from jesse_spark.operators.multimodal import FEATURE_DIM, image_features
+    from jesse_spark.sources.fixtures import _gen_media_row
+
+    rows = {r["media_id"]: r["feature"] for r in
+            image_features(media.filter(F.col("media_type") == "image")).collect()}
+    assert rows
+    for i in (0, 1, 4, 5):   # image kinds in the cycle
+        mid, payload = _gen_media_row(i)[0], _gen_media_row(i)[1]
+        px = mc.image_decode(payload)
+        hist, _ = np.histogram(px, bins=FEATURE_DIM, range=(0, 256))
+        exp = hist.astype(np.float32) / max(hist.sum(), 1)
+        assert np.allclose(rows[mid], exp, atol=1e-6)
+
+
+def test_image_resize_real_output(media):
+    from jesse_spark.operators.multimodal import image_resize
+
+    out = image_resize(media.filter(F.col("media_type") == "image"),
+                       width=4, height=4).collect()
+    assert out
+    for r in out:
+        px = mc.ppm_decode(bytes(r["payload"]))   # output is a REAL image
+        assert px.shape == (4, 4, 3)
+
+
+def test_video_frames_match_y4m_golden(media):
+    from jesse_spark.operators.multimodal import video_frame_sample
+    from jesse_spark.sources.fixtures import _gen_media_row
+
+    vids = media.filter(F.col("media_type") == "video")
+    frames = video_frame_sample(vids, every_n=2).collect()
+    by = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames}
+    row = _gen_media_row(2)                       # first video kind index
+    payload, n = row[1], row[6]
+    assert {(m, i) for (m, i) in by if m == row[0]} == {
+        (row[0], i) for i in range(0, n, 2)}
+    for i in range(0, n, 2):
+        exp = mc.ppm_encode(mc.y4m_frame(payload, i))
+        assert by[(row[0], i)] == exp
+
+
+def test_audio_stats_real_wav(media):
+    from jesse_spark.operators.multimodal import audio_stats
+    from jesse_spark.sources.fixtures import _gen_media_row
+
+    rows = {r["media_id"]: r for r in
+            audio_stats(media.filter(F.col("media_type") == "audio")).collect()}
+    assert rows
+    row = _gen_media_row(3)                       # first audio kind index
+    pcm, sr, codec = mc.wav_decode(row[1])
+    got = rows[row[0]]
+    assert got["sr_hz"] == 8000 and got["n_samples"] == len(pcm)
+    assert abs(got["rms"] - float(np.sqrt(np.mean(pcm.astype(float) ** 2)))) < 1e-9

@@ -84,9 +84,12 @@ def test_image_features_shape(media):
 
 
 def test_image_resize_plumbing(media):
+    from jesse_spark.functions import media_codecs as mc
+
     out = multimodal.image_resize(
         media.filter(F.col("media_type") == "image"), width=4, height=4).collect()
-    assert all(len(r["payload"]) == 4 * 4 * 3 for r in out)
+    # output is a real PPM container, decodable to the target dims
+    assert all(mc.ppm_decode(bytes(r["payload"])).shape == (4, 4, 3) for r in out)
     assert all(r["width"] == 4 and r["height"] == 4 for r in out)
 
 
