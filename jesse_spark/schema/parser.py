@@ -101,17 +101,48 @@ def resolve_pointer(doc: Any, pointer: str) -> Any:
     return node
 
 
+def file_loader(uri: str) -> Any | None:
+    """Default URI loader: ``file://`` only
+    (jesse_database.erl:305-314)."""
+    if uri.startswith("file://"):
+        p = Path(uri[len("file://"):])
+        if p.exists():
+            return json.loads(p.read_text())
+    return None
+
+
+def http_loader(uri: str) -> Any | None:
+    """Opt-in loader covering file:// AND http(s):// — the analog of
+    jesse's httpc fetch (jesse_database.erl:316-336).  Not the default:
+    a plan compile must not silently depend on a remote server."""
+    got = file_loader(uri)
+    if got is not None:
+        return got
+    if uri.startswith(("http://", "https://")):
+        from urllib.request import urlopen
+
+        with urlopen(uri, timeout=10) as r:
+            return json.loads(r.read().decode("utf-8"))
+    return None
+
+
 class SchemaRegistry:
     """Driver-side schema store — the analog of jesse's ETS database
-    (jesse_database.erl:60-177) minus network loaders (schemas ship
-    with the job; remote http(s) $refs are out of scope by design).
+    (jesse_database.erl:60-177).
 
     Keyed by canonical ``$id`` (draft6) / ``id`` (draft3/4), like
-    jesse_database:load/1 (jesse_database.erl:109-125).
+    jesse_database:load/1 (jesse_database.erl:109-125).  Unresolved
+    ``file://`` / ``http(s)://`` refs go through a pluggable
+    ``loader_fun`` — jesse's schema_loader_fun option (jesse.erl:89-92)
+    over its URI loaders (jesse_database.erl:305-336).  The default
+    loader handles ``file://`` only; pass ``loader_fun=http_loader`` to
+    opt into network fetches (schemas normally ship WITH the job — a
+    trillion-row run must not depend on a remote server at plan time).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, loader_fun=None) -> None:
         self._by_id: dict[str, Any] = {}
+        self._loader = loader_fun if loader_fun is not None else file_loader
 
     @staticmethod
     def _id_of(schema: Any, draft: int) -> str | None:
@@ -149,7 +180,12 @@ class SchemaRegistry:
     def load(self, key: str) -> Any:
         key = key.rstrip("#")
         if key not in self._by_id:
-            raise SchemaError("schema_not_found", key)
+            # cache-miss: try the URI loader, then cache under the key
+            # (jesse_database.erl:109-125 falls back to load_uri)
+            loaded = self._loader(key) if self._loader else None
+            if loaded is None:
+                raise SchemaError("schema_not_found", key)
+            self._by_id[key] = loaded
         return self._by_id[key]
 
     def resolve_ref(self, ref: str, root: Any) -> Any:

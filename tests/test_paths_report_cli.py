@@ -202,3 +202,49 @@ def test_iceberg_gated_source():
     assert out == ("loaded", "iceberg", {}, "cat.db.clips")
     # pinned snapshot IS the checkpoint identity — no cluster call
     assert input_snapshot_id(None, "iceberg:cat.db.clips@98765") == "98765"
+
+
+def test_uri_loader_file_and_http_gate(tmp_path):
+    """$ref to an unregistered file:// URI loads through the default
+    loader (jesse_database.erl:305-314); http(s) needs the opt-in
+    loader (jesse.erl:89-92 schema_loader_fun), which here is exercised
+    with a mocked fetch — no network in this sandbox."""
+    import json as _j
+
+    from jesse_spark.errors import SchemaError
+    from jesse_spark.schema.parser import SchemaRegistry
+
+    remote = tmp_path / "pos.json"
+    remote.write_text(_j.dumps({"type": "integer", "minimum": 1}))
+    uri = f"file://{remote.resolve()}"
+
+    reg = SchemaRegistry()
+    loaded = reg.load(uri)               # cache miss → file loader
+    assert loaded["minimum"] == 1
+    assert reg.load(uri) is loaded       # now cached
+
+    # default loader must NOT fetch http — fails loudly
+    try:
+        reg.load("http://example.invalid/schema.json")
+        raise AssertionError("expected schema_not_found")
+    except SchemaError as e:
+        assert e.code == "schema_not_found"
+
+    # opt-in loader: mocked http fetch
+    fetched = {}
+
+    def fake_http(uri):
+        fetched[uri] = True
+        return {"type": "string", "maxLength": 3}
+
+    reg2 = SchemaRegistry(loader_fun=fake_http)
+    s = reg2.load("https://example.invalid/s.json")
+    assert s["maxLength"] == 3 and fetched
+
+    # end-to-end: compile a schema whose $ref crosses into the loaded doc
+    from pyspark.sql import types as T
+
+    from jesse_spark.compiler import compile_checks
+
+    checks = compile_checks({"$ref": uri}, T.LongType(), registry=reg, draft=4)
+    assert any(c.constraint == "not_in_range" for c in checks)
