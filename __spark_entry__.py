@@ -190,6 +190,14 @@ def q_dedup_exact(spark, sf_dir):
         "text_hash", F.col("dup_count").cast("bigint").alias("dup_count"))
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    from jesse_spark.operators.dedup import drop_exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "prefix", F.substring("text", 1, 30))
+    return drop_exact_duplicates(d, "prefix", "doc_id").select("doc_id")
+
+
 def q_unique_tokens(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -363,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_agg": q_window_agg,
         "drift_psi": q_drift_psi,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
         "unique_tokens": q_unique_tokens,
         "contains_token": q_contains_token,
         "token_counts": q_token_counts,
@@ -619,6 +628,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g'))) AS text_hash, "
             "count(*) AS dup_count FROM documents "
             "GROUP BY 1 HAVING count(*) > 1"),
+        "dedup_keep_first": (
+            "SELECT doc_id FROM ("
+            "  SELECT doc_id, row_number() OVER ("
+            "    PARTITION BY md5(trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g')))"
+            "    ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"),
         "unique_tokens": (
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
             "len(list_distinct(string_split(text, ' '))) AS n_distinct FROM documents"),
