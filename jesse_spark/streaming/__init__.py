@@ -1,3 +1,7 @@
-from jesse_spark.streaming.validate_stream import validate_stream, streaming_verdicts
+from jesse_spark.streaming.stateful import violation_streaks
+from jesse_spark.streaming.validate_stream import (
+    streaming_verdicts,
+    validate_stream,
+)
 
-__all__ = ["validate_stream", "streaming_verdicts"]
+__all__ = ["validate_stream", "streaming_verdicts", "violation_streaks"]

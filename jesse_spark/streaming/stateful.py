@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator: per-key violation streaks.
+
+The reference has no streaming at all; this is north-star surface — the
+``applyInPandasWithState`` slot for operators the built-in windowed
+aggregates cannot express.  A *consecutive-invalid streak* is the
+canonical example: whether a key is quarantined depends on the ORDER of
+its rows across micro-batches, which no groupBy aggregate carries.
+
+State per key: (rows, invalid_rows, streak, quarantined).  A key whose
+streak of invalid rows reaches ``quarantine_after`` is flagged
+quarantined and stays flagged (sticky) — the upstream feed for that
+key needs human attention even if later rows recover.
+
+Rows are ordered by ``ts_col`` INSIDE each micro-batch (Arrow batches
+arrive in arbitrary order); cross-batch order is the stream's trigger
+order, as with any stateful streaming operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+OUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("rows", T.LongType()),
+    T.StructField("invalid_rows", T.LongType()),
+    T.StructField("streak", T.LongType()),
+    T.StructField("quarantined", T.BooleanType()),
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("rows", T.LongType()),
+    T.StructField("invalid_rows", T.LongType()),
+    T.StructField("streak", T.LongType()),
+    T.StructField("quarantined", T.BooleanType()),
+])
+
+
+def violation_streaks(
+    validated: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    valid_col: str = "valid",
+    quarantine_after: int = 3,
+) -> DataFrame:
+    """``validated`` (streaming, post-:func:`validate_stream`) →
+    one update row per key per trigger with the running streak state."""
+
+    def track(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            rows, invalid, streak, quarantined = state.get
+        else:
+            rows, invalid, streak, quarantined = 0, 0, 0, False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ok in pdf[valid_col].to_numpy():
+                rows += 1
+                if ok:
+                    streak = 0
+                else:
+                    invalid += 1
+                    streak += 1
+                    if streak >= quarantine_after:
+                        quarantined = True
+        state.update((int(rows), int(invalid), int(streak), bool(quarantined)))
+        yield pd.DataFrame([{
+            "key": key[0], "rows": rows, "invalid_rows": invalid,
+            "streak": streak, "quarantined": quarantined,
+        }])
+
+    return (
+        validated.select(key_col, ts_col, valid_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            track,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

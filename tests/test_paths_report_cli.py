@@ -248,3 +248,44 @@ def test_uri_loader_file_and_http_gate(tmp_path):
 
     checks = compile_checks({"$ref": uri}, T.LongType(), registry=reg, draft=4)
     assert any(c.constraint == "not_in_range" for c in checks)
+
+
+def test_stateful_violation_streaks(spark, tmp_path):
+    """applyInPandasWithState custom operator: consecutive-invalid
+    streaks per key, sticky quarantine — order-dependent state no
+    built-in aggregate can express."""
+    from pyspark.sql import functions as F
+
+    from jesse_spark.streaming import validate_stream, violation_streaks
+
+    src = str(tmp_path / "stream_src2")
+    # key A: 3 consecutive invalid (ids 3,4,5) → quarantined, then recovers
+    # key B: alternating → streak never reaches 3
+    df = spark.range(20).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("source"),
+        F.when(
+            ((F.col("id") % 2 == 0) & F.col("id").isin(4, 6, 8))
+            | ((F.col("id") % 2 == 1) & (F.col("id") % 4 == 1)),
+            None).otherwise(F.concat(F.lit("n"), F.col("id"))).alias("name"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("ingest_ts"),
+    )
+    df.coalesce(1).write.parquet(src)
+    schema = {"type": "object", "required": ["name"],
+              "properties": {"name": {"type": "string"}}}
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    validated = validate_stream(stream, schema)
+    streaks = violation_streaks(validated, key_col="source", ts_col="ingest_ts",
+                                quarantine_after=3)
+    q = (streaks.writeStream.format("memory").queryName("streaks")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["key"]: r for r in spark.sql("select * from streaks").collect()}
+    # key A (even ids 0..18): invalid at 4,6,8 → consecutive streak 3 → quarantined
+    assert rows["A"]["rows"] == 10 and rows["A"]["invalid_rows"] == 3
+    assert rows["A"]["quarantined"] is True
+    assert rows["A"]["streak"] == 0          # recovered after id 10
+    # key B (odd ids): invalid at 1,5,9,13,17 (alternating) → max streak 1
+    assert rows["B"]["rows"] == 10 and rows["B"]["invalid_rows"] == 5
+    assert rows["B"]["quarantined"] is False
