@@ -124,7 +124,7 @@ def main_default() -> None:
 # at 20k clips ~5-6 s of fixed scheduling/JIT overhead swamps the
 # higher-parallelism run and the efficiency number measures overhead,
 # not scaling (measured at 8→32: 20k clips → eff 0.08, 100k → 0.52)
-N_SCALING = int(os.environ.get("SPARK_GRAFT_CLIPS_SCALING", "50000"))
+N_SCALING = int(os.environ.get("SPARK_GRAFT_CLIPS_SCALING", "100000"))
 # N and 4N parallelism levels.  The sandbox VM advertises 32 cores but
 # the HOST overcommits CPU: a raw multiprocessing+numpy control (no
 # Spark anywhere) measures the hardware ceiling per 4x jump as
@@ -257,23 +257,34 @@ Reference (jesse) publishes no throughput numbers (no bench suite in
 the repo); it is a single-threaded per-document validator, so the
 engine's clips/sec at local[{LEVEL_N}] already bounds it from above.
 
-### Why N=2 → 4N=8 cores (when defaults are used)
+### Why N={LEVEL_N} → 4N={LEVEL_4N} cores (when defaults are used)
 
-The sandbox VM advertises 32 cores (no SMT), but the HOST overcommits:
-plain `multiprocessing.Pool` + numpy sin (no Spark anywhere) speeds up
-only ~2.5x from 8 to 32 processes (efficiency ~0.62), while 2 → 8
-processes scales at ~0.9-1.0.  Measured on the engine job, 8 → 32 gave
-efficiency 0.56-0.62 with 3x run-to-run variance from host steal —
-that number measures the host's CPU ceiling, not the job.  2 → 8 sits
-inside the host's linear region, so the efficiency below reflects the
-engine's actual scaling behavior (shuffle structure, barriers, driver
-serialization), which is what the north_rule is about.  The plan
-itself is parallelism-agnostic: data-derived shards, no driver-side
-loops, per-partition verdicts.
+The sandbox VM advertises 32 cores (no SMT), but the HOST overcommits
+CPU: a plain `multiprocessing.Pool` + numpy sin control (zero Spark)
+scales per 4x core jump at roughly 1→4 ≈ 0.90, 2→8 ≈ 0.78,
+4→16 ≈ 0.69, 8→32 ≈ 0.38-0.62 (varies with host load) — higher level
+pairs measure the host's ceiling, not the job, for ANY parallel
+process.  The level pair is chosen inside the host's linear region so
+the efficiency reflects the engine's actual scaling behavior (shuffle
+structure, barriers, driver serialization), which is what the
+north_rule is about.  The control at the SAME levels in the SAME
+window is reported above; the job/hardware-normalized number isolates
+the engine's own loss.  The plan itself is parallelism-agnostic:
+data-derived shards, no driver-side loops, broadcast dims, map-side
+partial aggregation, per-partition verdicts.
+
+Per-run history (appended, never overwritten): BENCH/HISTORY.md.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
+    import datetime
+
+    with open("BENCH/HISTORY.md", "a") as f:
+        f.write(
+            f"| {datetime.date.today()} | {LEVEL_N}->{LEVEL_4N} | {N_SCALING} "
+            f"| {eff:.3f} | {hw_eff:.3f} | {norm_eff:.3f} "
+            f"| {[round(r, 3) for r in ratios]} |\n")
     print(json.dumps({"nN": r8, "n4N": r32, "efficiency": round(eff, 3),
                       "round_ratios": [round(r, 3) for r in ratios],
                       "hw_efficiency": round(hw_eff, 3),
