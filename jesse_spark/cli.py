@@ -78,11 +78,14 @@ def cmd_validate(args) -> int:
         # halt(1) on any failing instance, like the reference CLI
         return 1 if invalid > 0 else 0
 
-    rows_this_run = _validate_checkpointed(spark, args, clips, codecs, schema)
     from jesse_spark.plans.checkpoint import CheckpointManager, input_snapshot_id
 
-    cm = CheckpointManager(spark, args.checkpoint_dir)
+    # snapshot pinned ONCE for the whole invocation: processing and the
+    # final verdict must agree even if the input moves underneath us
     snap = input_snapshot_id(spark, args.input)
+    cm = CheckpointManager(spark, args.checkpoint_dir)
+    rows_this_run = _validate_checkpointed(spark, args, clips, codecs, schema,
+                                           cm=cm, snap=snap)
     # run verdict = union of ALL completed shards' manifests, so a
     # resumed (or re-run) invocation reports and exits on the whole run,
     # not just the shards it happened to process
@@ -97,20 +100,16 @@ def cmd_validate(args) -> int:
     return 1 if invalid > 0 else 0
 
 
-def _validate_checkpointed(spark, args, clips, codecs, schema) -> int:
+def _validate_checkpointed(spark, args, clips, codecs, schema, *, cm, snap) -> int:
     """Resumable run: shards are processed in ``--shard-batches`` groups;
     each group's violations/reports land in per-shard partitions via
     DYNAMIC partition overwrite (completed shards' output is never
     touched), and its manifest rows are recorded as the group finishes —
     so a crash loses at most one in-flight group and a resume re-does
     only shards with no manifest."""
-    from jesse_spark.plans.checkpoint import (
-        CheckpointManager, input_snapshot_id, shard_expr, shard_verdicts,
-        with_shard)
+    from jesse_spark.plans.checkpoint import shard_expr, shard_verdicts, with_shard
     from jesse_spark.plans.pipeline import run_full_suite
 
-    snap = input_snapshot_id(spark, args.input)
-    cm = CheckpointManager(spark, args.checkpoint_dir)
     done = set(cm.completed_shards(args.run_id, snap))
     pending = [s for s in range(args.shards) if s not in done]
     sharded = with_shard(clips, args.key, args.shards)

@@ -872,7 +872,9 @@ def _combinator_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str,
                     fc = _fail_counts(c)
                     return F.array_position(fc, F.array_min(fc)) - 1
 
-                any_ok = lambda c: _reduce_or([p(c) for p in preds])  # noqa: E731
+                # default-bind: `preds` is REBOUND by the oneOf block
+                # below, and a schema may carry both combinators
+                any_ok = lambda c, ps=preds: _reduce_or([p(c) for p in ps])  # noqa: E731
                 for i, bc in enumerate(branch_checks):
                     for sc in bc:
                         checks.append(Check(

@@ -164,6 +164,13 @@ def _enum_value_pred(v: Column, val: Any) -> Column:
     if isinstance(val, bool):
         return is_boolean(v) & (as_bool(v) == F.lit(val))
     if isinstance(val, (int, float)):
+        if isinstance(val, int) and abs(val) > 2 ** 53:
+            # bignum: double comparison would collide neighbors —
+            # compare the exact decimal rendering (jesse bignums are
+            # arbitrary-precision, uniqueItemsExtra.json:7-10)
+            return is_number(v) & (
+                F.try_variant_get(v, "$", "decimal(38,0)").cast("string")
+                == F.lit(str(val)))
         return is_number(v) & (as_num(v) == F.lit(float(val)))
     if isinstance(val, str):
         return is_string(v) & (as_str(v) == F.lit(val))
@@ -195,6 +202,15 @@ def _elem_canonical(e: Column, depth: int = _CANON_DEPTH) -> Column:
     a documented bound, like MAX_REF_DEPTH."""
     if depth <= 0:
         return F.to_json(e)
+    # numbers: integral values render via exact decimal(38,0) so that
+    # 1 == 1.0 (both "1") AND bignums beyond double's 2^53 stay distinct
+    # (uniqueItemsExtra.json:7-10 "big integers are compared correctly");
+    # non-integral (or >38-digit overflow) falls back to double text
+    num = F.when(
+        as_num(e) == F.floor(as_num(e)),
+        F.coalesce(F.try_variant_get(e, "$", "decimal(38,0)").cast("string"),
+                   as_num(e).cast("string")),
+    ).otherwise(as_num(e).cast("string"))
     entries = F.array_sort(
         F.map_entries(as_map(e)),
         lambda a, b: F.when(a.getField("key") < b.getField("key"), F.lit(-1))
@@ -214,7 +230,7 @@ def _elem_canonical(e: Column, depth: int = _CANON_DEPTH) -> Column:
         F.array_join(F.transform(as_arr(e),
                                  lambda x: _elem_canonical(x, depth - 1)), ","),
         F.lit("]"))
-    return (F.when(is_number(e), as_num(e).cast("string"))
+    return (F.when(is_number(e), num)
             .when(is_object(e), obj)
             .when(is_array(e), arr)
             .otherwise(F.to_json(e)))

@@ -221,6 +221,12 @@ CASES = [
     # branch 1 fails 2 checks, branch 0 fails 1 → branch 0's code only
     ({**D4, "anyOf": [{"multipleOf": 7}, {"minimum": 10, "multipleOf": 2}]}, 5,
      ["any_schemas_not_valid", "not_multiple_of"]),
+    # anyOf + oneOf on one schema: the anyOf detail must evaluate its
+    # OWN branches, not oneOf's (closure-rebinding regression)
+    ({**D4, "anyOf": [{"minimum": 10}, {"maximum": 3}],
+      "oneOf": [{"multipleOf": 5}, {"multipleOf": 1}]}, 5,
+     ["any_schemas_not_valid", "not_in_range", "more_than_one_schema_valid"]),
+    ({**D4, "anyOf": [{"minimum": 4}], "oneOf": [{"multipleOf": 5}]}, 5, True),
     ({**D4, "oneOf": [{"minimum": 5}, {"maximum": 3}]}, 7, True),
     ({**D4, "oneOf": [{"minimum": 5}, {"maximum": 10}]}, 7,
      ["more_than_one_schema_valid"]),
@@ -261,6 +267,33 @@ def test_conformance(spark, schema, data, expected):
     if isinstance(schema, bool):
         run_case(spark, schema, data, expected)
         return
+    run_case(spark, schema, data, expected)
+
+
+# mirrored from the reference's extra regression corpus
+# (test/jesse_tests_draft4_SUITE_data/extra/)
+EXTRA_CASES = [
+    # itemsExtra.json: size of items does not imply minItems
+    ({**D4, "type": "array", "items": [{}, {}, {}], "additionalItems": False},
+     [], True),
+    ({**D4, "type": "array", "items": [{}, {}, {}], "additionalItems": False},
+     [1, 2], True),
+    ({**D4, "type": "array", "items": [{}, {}, {}], "additionalItems": False},
+     [1, 2, 3, 4], ["no_extra_items_allowed"]),
+    # unicodePatternProperties.json: non-ascii patterns vs
+    # additionalProperties: false
+    ({**D4, "patternProperties": {"^á": {}}, "additionalProperties": False},
+     {"ármányos": 2}, True),
+    ({**D4, "patternProperties": {"^á": {}}, "additionalProperties": False},
+     {"élmény": 2}, ["no_extra_properties_allowed"]),
+    # uniqueItemsExtra.json: numbers unique iff mathematically unequal
+    ({**D4, "uniqueItems": True}, [1.0, 2.0, 1.0], ["not_unique"]),
+]
+
+
+@pytest.mark.parametrize("schema,data,expected", EXTRA_CASES,
+                         ids=[f"extra{i}" for i in range(len(EXTRA_CASES))])
+def test_reference_extras(spark, schema, data, expected):
     run_case(spark, schema, data, expected)
 
 

@@ -108,6 +108,10 @@ HETERO_CASES = [
      3, False),
     ({**D4, "oneOf": [{"type": "integer"}, {"minimum": 5}]}, 3, True),
     ({**D4, "oneOf": [{"type": "integer"}, {"minimum": 5}]}, 7, False),
+    # anyOf + oneOf on one schema (closure-rebinding regression)
+    ({**D4, "anyOf": [{"minimum": 10}, {"maximum": 3}],
+      "oneOf": [{"multipleOf": 5}, {"multipleOf": 1}]}, 5, False),
+    ({**D4, "anyOf": [{"minimum": 4}], "oneOf": [{"multipleOf": 5}]}, 5, True),
     # mixed-type property bags via real maps
     ({**D4, "patternProperties": {"^n_": {"type": "integer"}}},
      {"n_a": 1, "n_b": "x"}, False),
@@ -173,3 +177,36 @@ def test_anyof_branch_detail_variant(spark):
     # branch 0 fails 1 check (wrong_type), branch 1 fails 1 (not_in_range);
     # first-shortest = branch 0 → wrong_type detail
     assert sorted(set(row["codes"])) == ["any_schemas_not_valid", "wrong_type"]
+
+
+# mirrored from the reference's extra regression corpus
+# (test/jesse_tests_draft4_SUITE_data/extra/) — variant mode, incl. the
+# bignum case a typed column cannot hold
+EXTRA_VARIANT = [
+    # uniqueItemsExtra.json:7-10 — bignums compared exactly, not as doubles
+    ({**D4, "uniqueItems": True},
+     [123456789012345678901234567890, 123456789012345678901234567891], True),
+    ({**D4, "uniqueItems": True},
+     [123456789012345678901234567890, 123456789012345678901234567890], False),
+    # bignum enum/const: exact comparison
+    ({**D6, "const": 123456789012345678901234567890},
+     123456789012345678901234567890, True),
+    ({**D6, "const": 123456789012345678901234567890},
+     123456789012345678901234567891, False),
+    # itemsExtra.json
+    ({**D4, "type": "array", "items": [{}, {}, {}], "additionalItems": False},
+     [1, 2], True),
+    ({**D4, "type": "array", "items": [{}, {}, {}], "additionalItems": False},
+     [1, 2, 3, 4], False),
+    # unicodePatternProperties.json
+    ({**D4, "patternProperties": {"^á": {}}, "additionalProperties": False},
+     {"ármányos": 2}, True),
+    ({**D4, "patternProperties": {"^á": {}}, "additionalProperties": False},
+     {"élmény": 2}, False),
+]
+
+
+@pytest.mark.parametrize("schema,data,expect_valid", EXTRA_VARIANT,
+                         ids=[f"x{i}" for i in range(len(EXTRA_VARIANT))])
+def test_reference_extras_variant(spark, schema, data, expect_valid):
+    run_variant_case(spark, schema, data, expect_valid)
