@@ -94,7 +94,8 @@ def is_integer(v: Column, draft: int) -> Column:
     strict = (t == "BIGINT") | t.rlike(_DECIMAL0)
     if draft < DRAFT6:
         return strict
-    return strict | (is_number(v) & (as_num(v) == F.floor(as_num(v))))
+    # pmod, not floor: floor(double) yields LONG and overflows past 2^63
+    return strict | (is_number(v) & (F.pmod(as_num(v), F.lit(1.0)) == 0.0))
 
 
 def is_array(v: Column) -> Column:
@@ -206,8 +207,10 @@ def _elem_canonical(e: Column, depth: int = _CANON_DEPTH) -> Column:
     # 1 == 1.0 (both "1") AND bignums beyond double's 2^53 stay distinct
     # (uniqueItemsExtra.json:7-10 "big integers are compared correctly");
     # non-integral (or >38-digit overflow) falls back to double text
+    # integrality via pmod, NOT floor: floor(double) returns LONG and
+    # overflows (→ null) beyond 2^63, exactly the bignum range
     num = F.when(
-        as_num(e) == F.floor(as_num(e)),
+        F.pmod(as_num(e), F.lit(1.0)) == 0.0,
         F.coalesce(F.try_variant_get(e, "$", "decimal(38,0)").cast("string"),
                    as_num(e).cast("string")),
     ).otherwise(as_num(e).cast("string"))
