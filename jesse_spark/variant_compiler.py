@@ -94,8 +94,9 @@ def is_integer(v: Column, draft: int) -> Column:
     strict = (t == "BIGINT") | t.rlike(_DECIMAL0)
     if draft < DRAFT6:
         return strict
-    # pmod, not floor: floor(double) yields LONG and overflows past 2^63
-    return strict | (is_number(v) & (F.pmod(as_num(v), F.lit(1.0)) == 0.0))
+    # round(x) == x, not floor (LONG overflow past 2^63) and not
+    # pmod (tiny negatives collapse to 0.0)
+    return strict | (is_number(v) & (F.round(as_num(v)) == as_num(v)))
 
 
 def is_array(v: Column) -> Column:
@@ -207,10 +208,11 @@ def _elem_canonical(e: Column, depth: int = _CANON_DEPTH) -> Column:
     # 1 == 1.0 (both "1") AND bignums beyond double's 2^53 stay distinct
     # (uniqueItemsExtra.json:7-10 "big integers are compared correctly");
     # non-integral (or >38-digit overflow) falls back to double text
-    # integrality via pmod, NOT floor: floor(double) returns LONG and
-    # overflows (→ null) beyond 2^63, exactly the bignum range
+    # integrality via round(x) == x: floor(double) returns LONG and
+    # overflows beyond 2^63 (the bignum range), and pmod(x, 1.0)
+    # collapses tiny negatives to exactly 0.0 (x + 1.0 rounds to 1.0)
     num = F.when(
-        F.pmod(as_num(e), F.lit(1.0)) == 0.0,
+        F.round(as_num(e)) == as_num(e),
         F.coalesce(F.try_variant_get(e, "$", "decimal(38,0)").cast("string"),
                    as_num(e).cast("string")),
     ).otherwise(as_num(e).cast("string"))

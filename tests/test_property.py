@@ -126,3 +126,38 @@ def test_quantile_sketch_error_bound(spark):
     s = column_stats(df, ["x"]).head()
     for q, est in zip((0.25, 0.5, 0.75, 0.95, 0.99), s["quantiles"]):
         assert abs(est / 100000 - q) < 0.01, (q, est)
+
+
+def _shuffle_keys(v, rng):
+    """Recursively reorder object keys (arrays keep order) — the
+    prop_get_equal.erl property: normalize_and_sort preserves is_equal
+    for arbitrary JSON."""
+    if isinstance(v, dict):
+        keys = list(v.keys())
+        rng.shuffle(keys)
+        return {k: _shuffle_keys(v[k], rng) for k in keys}
+    if isinstance(v, list):
+        return [_shuffle_keys(x, rng) for x in v]
+    return v
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(json_value, min_size=1, max_size=6), st.randoms())
+def test_deep_equality_key_order_invariant(spark, values, rng):
+    """const against a recursively key-shuffled copy of the same value
+    is always a match (order-insensitive object equality,
+    jesse_lib.erl:218-261); uniqueItems flags [v, shuffled(v)] as dup."""
+    pairs = [(v, _shuffle_keys(v, rng)) for v in values]
+    # const: shuffled instance still equals the original literal
+    oks = []
+    for orig, shuf in pairs:
+        pred = compile_variant_pred({"const": orig}, draft=6)
+        one = spark.createDataFrame([(json.dumps(shuf),)], "j string")
+        oks.append(one.select(
+            F.coalesce(pred(F.parse_json(F.col("j"))), F.lit(False)).alias("ok")
+        ).head()["ok"])
+    assert all(oks), [p for p, ok in zip(pairs, oks) if not ok]
+    # uniqueItems: [v, shuffled(v)] is a duplicate pair
+    dup_arrays = [[v, s] for v, s in pairs]
+    got = _run_batch(spark, {"uniqueItems": True}, dup_arrays)
+    assert not any(got), [a for a, ok in zip(dup_arrays, got) if ok]
