@@ -288,14 +288,14 @@ def q_simhash_near_dups(spark, sf_dir):
 def _augmented_embeddings(spark, sf_dir):
     """embeddings ∪ deterministic near-duplicate copies: every 50th
     vector re-scaled per-element by (1 + 0.04·((i%7)-3)) under id
-    +1000000 — cosine ≈ 0.995 vs its source, far above every natural
+    +10^12 (collision-free below a trillion source rows) — cosine ≈ 0.995 vs its source, far above every natural
     pair (max ≈ 0.51), so the near-dup ground truth is exactly the
     seeded pairs and both engines can rebuild it with the same
     double-precision arithmetic."""
     e = _t(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     pert = base.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
+        (F.col("vec_id") + 1000000000000).alias("vec_id"),
         F.transform(
             "v",
             lambda x, i: x * (F.lit(1.0) + F.lit(0.04)
@@ -465,7 +465,7 @@ WITH base AS (
 ), aug AS (
   SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + 1000000,
+  SELECT vec_id + 1000000000000,
          list_transform(range(1, 65), i -> v[i] * (1.0 + 0.04 * ((i % 7) - 3)))
   FROM base WHERE vec_id % 50 = 0
 ), pairs AS (

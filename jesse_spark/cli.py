@@ -53,7 +53,17 @@ def cmd_validate(args) -> int:
     from jesse_spark.sources.fixtures import codecs_df
 
     spark = get_spark("jesse-spark-validate", master=args.master)
-    clips = _read_input(spark, args.input)
+    input_ref = args.input
+    if args.checkpoint_dir and input_ref.startswith("iceberg:") \
+            and "@" not in input_ref:
+        # pin the table to its CURRENT snapshot for the whole run:
+        # lazy batch actions would otherwise each re-resolve "latest",
+        # so a mid-run commit could make later shards validate data the
+        # recorded snapshot id never saw
+        from jesse_spark.plans.checkpoint import input_snapshot_id as _snap_of
+
+        input_ref = f"{input_ref}@{_snap_of(spark, input_ref)}"
+    clips = _read_input(spark, input_ref)
     schema = json.loads(open(args.schema).read()) if args.schema else None
     codecs = _read_input(spark, args.codecs) if args.codecs else codecs_df(spark)
 
@@ -80,9 +90,11 @@ def cmd_validate(args) -> int:
 
     from jesse_spark.plans.checkpoint import CheckpointManager, input_snapshot_id
 
-    # snapshot pinned ONCE for the whole invocation: processing and the
-    # final verdict must agree even if the input moves underneath us
-    snap = input_snapshot_id(spark, args.input)
+    # snapshot pinned ONCE for the whole invocation (input_ref carries
+    # the @snapshot for iceberg inputs, so reads are pinned too):
+    # processing and the final verdict must agree even if the input
+    # moves underneath us
+    snap = input_snapshot_id(spark, input_ref)
     cm = CheckpointManager(spark, args.checkpoint_dir)
     rows_this_run = _validate_checkpointed(spark, args, clips, codecs, schema,
                                            cm=cm, snap=snap)
@@ -119,6 +131,12 @@ def _validate_checkpointed(spark, args, clips, codecs, schema, *, cm, snap) -> i
 
     n_batches = max(1, min(args.shard_batches, len(pending) or 1))
     rows_this_run = 0
+    # outputs are scoped per run id: dynamic overwrite only replaces the
+    # partitions a batch writes, so without the scope a previous run's
+    # (different run-id / snapshot) shard partitions would survive in
+    # the same directory and be read as if they were this run's
+    out_dir = f"{args.output}/run_id={args.run_id}"
+    rep_dir = f"{args.json_reports}/run_id={args.run_id}" if args.json_reports else None
     for b in range(n_batches):
         batch = [s for s in pending if s % n_batches == b]
         if not batch:
@@ -130,13 +148,13 @@ def _validate_checkpointed(spark, args, clips, codecs, schema, *, cm, snap) -> i
                              ignore_cols=("_shard",))
         viol = res.violations.withColumn("_shard", shard_expr(args.key, args.shards))
         (viol.write.mode("overwrite").partitionBy("_shard", "constraint")
-         .parquet(args.output))
-        if args.json_reports:
+         .parquet(out_dir))
+        if rep_dir:
             from jesse_spark.plans.report import per_row_reports
 
             rep = per_row_reports(res.validated, key_col=args.key).withColumn(
                 "_shard", shard_expr(args.key, args.shards))
-            rep.write.mode("overwrite").partitionBy("_shard").json(args.json_reports)
+            rep.write.mode("overwrite").partitionBy("_shard").json(rep_dir)
         # manifest covers EVERY shard of the batch (incl. empty ones),
         # else a rowless shard would stay pending forever; collect once
         # (≤ |batch| tiny rows) so the suite isn't re-evaluated
@@ -152,6 +170,9 @@ def _validate_checkpointed(spark, args, clips, codecs, schema, *, cm, snap) -> i
             sv_rows, "shard int, rows long, invalid_rows long, passed boolean")
         cm.record(args.run_id, snap, svdf, wall_sec=time.time() - tb)
         rows_this_run += sum(r[1] for r in sv_rows)
+        # each batch persists its own narrow projection (pipeline.py);
+        # release it so a many-batch run doesn't accumulate caches
+        res.validated.unpersist()
     return rows_this_run
 
 

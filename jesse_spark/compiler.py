@@ -50,6 +50,7 @@ from jesse_spark.schema.parser import (
 )
 
 MAX_REF_DEPTH = 16  # bounded unrolling for recursive $refs (SURVEY §2.3 #30)
+_ANYOF_DETAIL_MAX = 24  # anyOf branch-detail cap (see _combinator_checks)
 
 # ---------------------------------------------------------------------------
 # format regexes (jesse_validator_draft4.erl:975-1004; draft6 adds
@@ -179,7 +180,9 @@ def _single_type_pred(tname: str, dtype: T.DataType, col: Column, ctx: Ctx) -> C
         return F.lit(False)  # non-null value can't be type null
     if tname == "integer" and "number" in st and "integer" not in st:
         if ctx.draft >= DRAFT6:
-            return col == F.floor(col)  # 1.0 is an integer in draft6
+            # 1.0 is an integer in draft6; round(x) == x, not floor
+            # (floor(double) returns LONG and overflows past 2^63)
+            return col == F.round(col)
         return F.lit(False)
     return F.lit(tname in st)
 
@@ -319,6 +322,14 @@ def _contains_map(dtype: T.DataType) -> bool:
     return False
 
 
+def _json_escape(c: Column) -> Column:
+    """Escape backslash + quote so canonical strings can't forge the
+    object/array delimiters of the rendering (a key like 'a\",\"b\":1'
+    must not collide with a two-key object)."""
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+
+
 def _typed_canonical(col: Column, dtype: T.DataType) -> Column:
     """Canonical text rendering for equality grouping (uniqueItems over
     elements containing maps, which Spark can't compare natively):
@@ -344,7 +355,8 @@ def _typed_canonical(col: Column, dtype: T.DataType) -> Column:
         )
         inner = F.array_join(
             F.transform(entries, lambda e: F.concat(
-                F.lit('"'), e.getField("key").cast("string"), F.lit('":'),
+                F.lit('"'), _json_escape(e.getField("key").cast("string")),
+                F.lit('":'),
                 _typed_canonical(e.getField("value"), dtype.valueType))),
             ",")
         return F.when(col.isNull(), F.lit("null")).otherwise(
@@ -356,7 +368,7 @@ def _typed_canonical(col: Column, dtype: T.DataType) -> Column:
             F.concat(F.lit("["), inner, F.lit("]")))
     if _is_string(dtype):
         return F.when(col.isNull(), F.lit("null")).otherwise(
-            F.concat(F.lit('"'), col.cast("string"), F.lit('"')))
+            F.concat(F.lit('"'), _json_escape(col.cast("string")), F.lit('"')))
     return F.coalesce(col.cast("string"), F.lit("null"))
 
 
@@ -856,8 +868,14 @@ def _combinator_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str,
             # shortest-error-branch detail: when every branch fails,
             # additionally surface the violations of the branch with the
             # FEWEST failed checks — first such branch on ties
-            # (jesse_validator_draft4.erl:1156-1179 + shortest/2 :1365-1373)
-            if any(branch_checks):
+            # (jesse_validator_draft4.erl:1156-1179 + shortest/2 :1365-1373).
+            # Each detail check re-evaluates all B×C branch predicates, so
+            # the full set costs O((B·C)²) expression nodes — capped at
+            # _ANYOF_DETAIL_MAX total branch checks to keep the projection
+            # inside whole-stage codegen; beyond it only the combinator
+            # verdict is reported (detail degrades, verdict never does)
+            if any(branch_checks) and \
+                    sum(len(bc) for bc in branch_checks) <= _ANYOF_DETAIL_MAX:
 
                 def _fail_counts(c: Column) -> Column:
                     per_branch = []

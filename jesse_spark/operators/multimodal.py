@@ -80,11 +80,16 @@ def image_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
         for b in batches:
             feats = []
             for _, row in b.iterrows():
-                px = decode_image(row[payload_col], int(row["width"] or 8),
-                                  int(row["height"] or 8))
-                hist, _ = np.histogram(px, bins=FEATURE_DIM, range=(0, 256))
-                v = hist.astype(np.float32)
-                feats.append((v / max(v.sum(), 1)).tolist())
+                try:
+                    px = decode_image(row[payload_col], int(row["width"] or 8),
+                                      int(row["height"] or 8))
+                    hist, _ = np.histogram(px, bins=FEATURE_DIM, range=(0, 256))
+                    v = hist.astype(np.float32)
+                    feats.append((v / max(v.sum(), 1)).tolist())
+                except Exception:
+                    feats.append(None)   # corrupt payload: null feature,
+                    # never a task failure (one bad row must not 4x-fail
+                    # the whole job)
             yield pd.DataFrame({"media_id": b["media_id"], "feature": feats})
 
     return df.select("media_id", payload_col, "width", "height").mapInPandas(
@@ -101,11 +106,14 @@ def image_resize(df: DataFrame, *, width: int, height: int,
         for b in batches:
             payloads = []
             for _, row in b.iterrows():
-                px = decode_image(row[payload_col], int(row["width"] or 8),
-                                  int(row["height"] or 8))
-                ys = (np.arange(height) * px.shape[0] // height)
-                xs = (np.arange(width) * px.shape[1] // width)
-                payloads.append(mc.ppm_encode(px[np.ix_(ys, xs)]))
+                try:
+                    px = decode_image(row[payload_col], int(row["width"] or 8),
+                                      int(row["height"] or 8))
+                    ys = (np.arange(height) * px.shape[0] // height)
+                    xs = (np.arange(width) * px.shape[1] // width)
+                    payloads.append(mc.ppm_encode(px[np.ix_(ys, xs)]))
+                except Exception:
+                    payloads.append(None)  # corrupt payload: null output
             yield pd.DataFrame({
                 "media_id": b["media_id"], "payload": payloads,
                 "width": width, "height": height})
@@ -128,11 +136,17 @@ def video_frame_sample(df: DataFrame, *, every_n: int = 30,
             for _, row in b.iterrows():
                 payload = row[payload_col] or b""
                 if payload[:9] == b"YUV4MPEG2":
-                    _, _, n = mc.y4m_info(payload)
-                    for i in range(0, n, every_n):
+                    try:
+                        _, _, n = mc.y4m_info(payload)
+                        for i in range(0, n, every_n):
+                            ids.append(row["media_id"])
+                            idxs.append(i)
+                            frames.append(mc.ppm_encode(mc.y4m_frame(payload, i)))
+                    except Exception:
+                        # corrupt stream: emit one null-frame marker row
                         ids.append(row["media_id"])
-                        idxs.append(i)
-                        frames.append(mc.ppm_encode(mc.y4m_frame(payload, i)))
+                        idxs.append(-1)
+                        frames.append(None)
                 else:
                     for i in range(0, int(row["n_frames"] or 0), every_n):
                         ids.append(row["media_id"])

@@ -120,11 +120,17 @@ class CheckpointManager:
         """(rows, invalid_rows) across ALL completed shards of the run —
         the verdict a resumed/re-run invocation must report (a completed
         run keeps exiting non-zero if any shard ever saw invalid rows).
-        Deduplicates on shard keeping the latest manifest."""
-        try:
-            m = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.dir)
-        except Exception:
+        Deduplicates on shard keeping the latest manifest.
+
+        Only a genuinely EMPTY manifest store yields (0, 0); a failed
+        read RAISES — the verdict feeds the exit code, and converting a
+        corrupt/unreadable manifest into "0 invalid rows, exit 0" would
+        report an infrastructure failure as a passing validation run.
+        (completed_shards may safely return [] on error: the only
+        consequence is re-processing.)"""
+        if not any(Path(self.dir).rglob("*.parquet")):
             return 0, 0
+        m = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.dir)
         from pyspark.sql import Window
 
         w = Window.partitionBy("shard").orderBy(F.desc("finished_at"))

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jesse_spark.compiler import (
+    _ANYOF_DETAIL_MAX,
     Builder,
     Check,
     Ctx,
@@ -226,7 +227,11 @@ def _elem_canonical(e: Column, depth: int = _CANON_DEPTH) -> Column:
         F.lit("{"),
         F.array_join(
             F.transform(entries, lambda ent: F.concat(
-                F.lit('"'), ent.getField("key"), F.lit('":'),
+                F.lit('"'),
+                F.regexp_replace(F.regexp_replace(ent.getField("key"),
+                                                  r"\\", r"\\\\"),
+                                 '"', '\\\\"'),
+                F.lit('":'),
                 _elem_canonical(ent.getField("value"), depth - 1))),
             ","),
         F.lit("}"))
@@ -534,8 +539,10 @@ def compile_variant_checks(
                 lambda v, ps=ps: _reduce_or([p(v) for p in ps]))
             # shortest-error-branch detail (jesse_validator_draft4.erl:
             # 1156-1179 + shortest/2 :1365-1373): when every branch
-            # fails, surface the first fewest-failures branch's codes
-            if any(branch_checks):
+            # fails, surface the first fewest-failures branch's codes.
+            # Capped like the typed compiler: O((B·C)²) expression cost
+            if any(branch_checks) and \
+                    sum(len(bc) for bc in branch_checks) <= _ANYOF_DETAIL_MAX:
 
                 def _best_idx(v: Column) -> Column:
                     per_branch = []

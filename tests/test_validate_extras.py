@@ -94,3 +94,47 @@ def test_allowed_errors_with_anyof_oneof(spark):
     codes = {x["constraint"] for x in full["violations"]}
     assert "any_schemas_not_valid" in codes
     assert "not_in_enum" in codes  # shortest-branch detail under infinity
+
+
+def test_canonical_escaping_no_collisions(spark):
+    """Quote-bearing keys/values must not forge the canonical JSON
+    delimiters: a 1-key object with key 'a\",\"b' is NOT equal to the
+    2-key {a,b} object (uniqueItems in both modes)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from jesse_spark.variant_compiler import compile_variant_checks
+
+    data = [{'a":1,"b': 1}, {"a": 1, "b": 1}]
+    df = spark.createDataFrame([(json.dumps(data),)], "j string")
+    checks = compile_variant_checks({"uniqueItems": True}, draft=4)
+    assert df.select(F.coalesce(checks[0].pred(F.parse_json("j")),
+                                F.lit(False)).alias("ok")).head()["ok"] is True
+
+    dt = T.ArrayType(T.MapType(T.StringType(), T.StringType()))
+    tdf = spark.createDataFrame(
+        [(1, [{"a": 'x","b":"y'}, {"a": "x", "b": "y"}])],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("v", dt)]))
+    tchecks = compile_checks({"uniqueItems": True}, dt,
+                             null_is_absent=False, draft=4)
+    assert tdf.select(F.coalesce(tchecks[0].pred(F.col("v")),
+                                 F.lit(False)).alias("ok")).head()["ok"] is True
+
+
+def test_media_operators_survive_corrupt_payloads(spark):
+    """A sniffed-but-corrupt payload yields a null output row, never a
+    task failure that 4x-fails the job."""
+    from jesse_spark.operators import multimodal
+
+    rows = [("bad_bmp", b"BM" + b"\x01" * 20, "image", "image/bmp", 8, 8, None, None),
+            ("bad_y4m", b"YUV4MPEG2 bogus\n" + b"\x00" * 8, "video",
+             "video/x-yuv4mpeg", 8, 8, 3, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.image_features(
+        media.filter(F.col("media_type") == "image")).collect()
+    assert len(feats) == 1 and feats[0]["feature"] is None
+    frames = multimodal.video_frame_sample(
+        media.filter(F.col("media_type") == "video")).collect()
+    assert [(f["frame_idx"], f["frame"]) for f in frames] == [(-1, None)]
