@@ -86,6 +86,17 @@ def q_uniqueness_dup_keys(spark, sf_dir):
         "l_orderkey", F.col("dup_count").cast("bigint").alias("dup_count"))
 
 
+def q_uniqueness_dup_keys_salted(spark, sf_dir):
+    """Same answer as uniqueness_dup_keys through the two-level salted
+    aggregation (operators/skew.py discipline) — the oracle proves the
+    skew-safe path returns identical results."""
+    from jesse_spark.operators.uniqueness import find_duplicates
+
+    li = _t(spark, sf_dir, "lineitem")
+    return find_duplicates(li, "l_orderkey", salted=True).select(
+        "l_orderkey", F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
 def q_uniqueness_gate(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.agg(
@@ -179,6 +190,14 @@ def q_window_agg(spark, sf_dir):
 def q_drift_psi(spark, sf_dir):
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_PSI_SQL)
+
+
+
+def q_drift_ks(spark, sf_dir):
+    """Two-sample KS statistic over fixed histogram edges (events value
+    split by parity) — max |CDF_a - CDF_b|, all SQL-expressible."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_KS_SQL)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -358,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_documents": q_validate_documents,
         "stats_single_pass": q_stats_single_pass,
         "uniqueness_dup_keys": q_uniqueness_dup_keys,
+        "uniqueness_dup_keys_salted": q_uniqueness_dup_keys_salted,
         "uniqueness_gate": q_uniqueness_gate,
         "ri_orphans": q_ri_orphans,
         "ri_semi_count": q_ri_semi_count,
@@ -370,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kvc_aggregates": q_kvc_aggregates,
         "window_agg": q_window_agg,
         "drift_psi": q_drift_psi,
+        "drift_ks": q_drift_ks,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "unique_tokens": q_unique_tokens,
@@ -411,6 +432,31 @@ SELECT round(sum((na * 1.0 / ta - nb * 1.0 / tb)
 FROM cnt, tot
 """
 
+
+
+_KS_SQL = """
+WITH buck AS (
+  SELECT CASE WHEN value < 10 THEN 0 WHEN value < 25 THEN 1
+              WHEN value < 50 THEN 2 WHEN value < 100 THEN 3
+              WHEN value < 200 THEN 4 ELSE 5 END AS b,
+         event_id % 2 AS side
+  FROM events
+),
+cnt AS (
+  SELECT b,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+  FROM buck GROUP BY b
+),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM cnt),
+cdf AS (
+  SELECT b,
+         sum(na) OVER (ORDER BY b) * 1.0 / ta AS ca,
+         sum(nb) OVER (ORDER BY b) * 1.0 / tb AS cb
+  FROM cnt, tot
+)
+SELECT CAST(floor(max(abs(ca - cb)) * 1000000 + 0.5) AS BIGINT) AS ks_x1e6 FROM cdf
+"""
 
 # exact all-pairs token-bigram Jaccard (mirrors token_shingles(text, 2))
 _MINHASH_SQL = r"""
@@ -584,6 +630,9 @@ def oracle_sql() -> dict[str, str]:
         "uniqueness_dup_keys": (
             "SELECT l_orderkey, count(*) AS dup_count FROM lineitem "
             "GROUP BY l_orderkey HAVING count(*) > 1"),
+        "uniqueness_dup_keys_salted": (
+            "SELECT l_orderkey, count(*) AS dup_count FROM lineitem "
+            "GROUP BY l_orderkey HAVING count(*) > 1"),
         "uniqueness_gate": (
             "SELECT count(o_orderkey) AS cnt, "
             "count(DISTINCT o_orderkey) AS distinct_cnt, "
@@ -624,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1"),
         "drift_psi": _PSI_SQL,
+        "drift_ks": _KS_SQL,
         "dedup_exact": (
             "SELECT md5(trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g'))) AS text_hash, "
             "count(*) AS dup_count FROM documents "
