@@ -516,6 +516,14 @@ def compile_checks(
             # draft3 format check is a no-op (jesse_validator_draft3.erl:851-852)
             add(E.WRONG_FORMAT, _format_pred(schema["format"], ctx))
 
+    # ---- examples (draft6) ---------------------------------------------
+    # jesse QUIRK, reproduced faithfully: an `examples`-bearing draft6
+    # schema requires the INSTANCE to be an array (not_array otherwise)
+    # — jesse_validator_draft6.erl:157-165 checks is_array(Value), not
+    # the keyword's own value, although the spec calls it annotation
+    if ctx.draft >= DRAFT6 and "examples" in schema:
+        add(E.NOT_ARRAY, lambda c: _null_skip(c, F.lit(is_arr)))
+
     # ---- object keywords ---------------------------------------------------
     if is_obj:
         checks.extend(_object_checks(schema, dtype, ctx, _path))

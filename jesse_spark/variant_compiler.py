@@ -371,6 +371,13 @@ def compile_variant_checks(
         fp = _format_pred(schema["format"], ctx)
         add(E.WRONG_FORMAT, lambda v, fp=fp: _guard(is_string(v), fp(as_str(v))))
 
+    # ---- examples (draft6) -------------------------------------------------
+    # jesse QUIRK reproduced faithfully: the instance must be an array
+    # when the schema carries `examples` (jesse_validator_draft6.erl:
+    # 157-165 checks is_array(Value); the spec calls it annotation)
+    if ctx.draft >= DRAFT6 and "examples" in schema:
+        add(E.NOT_ARRAY, lambda v: is_array(v))
+
     # ---- object -----------------------------------------------------------------
     props: dict = schema.get("properties", {}) or {}
     pattern_props: dict = schema.get("patternProperties", {}) or {}

@@ -288,6 +288,11 @@ EXTRA_CASES = [
      {"élmény": 2}, ["no_extra_properties_allowed"]),
     # uniqueItemsExtra.json: numbers unique iff mathematically unequal
     ({**D4, "uniqueItems": True}, [1.0, 2.0, 1.0], ["not_unique"]),
+    # jesse draft6 `examples` QUIRK (D6:157-165): instance must be an
+    # array when the schema carries examples; draft4 has no such keyword
+    ({**D6, "examples": [1, 2]}, [9, 9], True),
+    ({**D6, "examples": [1, 2]}, 9, ["not_array"]),
+    ({**D4, "examples": [1, 2]}, 9, True),
 ]
 
 

@@ -203,6 +203,9 @@ EXTRA_VARIANT = [
      {"ármányos": 2}, True),
     ({**D4, "patternProperties": {"^á": {}}, "additionalProperties": False},
      {"élmény": 2}, False),
+    # jesse draft6 `examples` QUIRK (D6:157-165)
+    ({**D6, "examples": [1, 2]}, [9], True),
+    ({**D6, "examples": [1, 2]}, 9, False),
 ]
 
 
