@@ -76,15 +76,31 @@ def token_shingles(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 # 1. exact dedup
 # ---------------------------------------------------------------------------
-def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str, *,
+                     max_ids: int = 100) -> DataFrame:
     """Groups of byte-identical (post-normalization) texts:
-    (text_hash, dup_count, ids).  Shuffles (hash, id) only."""
-    h = F.md5(normalized(F.col(text_col))).alias("text_hash")
+    (text_hash, dup_count, min_id, ids).  Shuffles (hash, id) only.
+
+    ``ids`` is a bounded SAMPLE (the ``max_ids`` smallest ids), not the
+    full membership: a degenerate corpus where billions of rows share
+    one hash must not materialize them all in a single aggregation
+    buffer.  Membership is capped BEFORE aggregation via a row_number
+    window (the window sort spills to disk; a collect_list buffer does
+    not), so executor memory stays bounded no matter how hot the group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash").orderBy("id")
+    tagged = (
+        df.select(F.md5(normalized(F.col(text_col))).alias("text_hash"),
+                  F.col(id_col).alias("id"))
+        .withColumn("_rn", F.row_number().over(w))
+    )
     return (
-        df.select(h, F.col(id_col))
-        .groupBy("text_hash")
+        tagged.groupBy("text_hash")
         .agg(F.count(F.lit(1)).alias("dup_count"),
-             F.sort_array(F.collect_list(id_col)).alias("ids"))
+             F.min("id").alias("min_id"),
+             F.sort_array(F.collect_list(
+                 F.when(F.col("_rn") <= max_ids, F.col("id")))).alias("ids"))
         .filter(F.col("dup_count") > 1)
     )
 
@@ -132,11 +148,22 @@ def bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
 
 def _capped_id_buckets(tagged: DataFrame, key_cols: list[str], *,
                        max_bucket: int) -> DataFrame:
-    """groupBy bucket key → sorted id list, sliced to max_bucket ids.
-    Slicing after sort keeps the survivor set deterministic (min ids)."""
+    """Bucket key → sorted id list of AT MOST max_bucket ids.
+
+    Membership is capped BEFORE the aggregation: a row_number window
+    over the bucket key (ordered by id — keeps the survivor set the
+    deterministic min ids) filtered to ``<= max_bucket``, then the
+    bounded collect.  The window's sort is spillable; an uncapped
+    ``collect_list`` buffer on a degenerate hot bucket (billions of
+    identical texts → one bucket) is a single-reducer OOM at 100 TB."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("id")
+    capped = tagged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_bucket)
     return (
-        tagged.groupBy(*key_cols)
-        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids"))
+        capped.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
 
@@ -332,9 +359,17 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
             for i in range(4)
         ])).alias("chunk_idx", "chunk"),
     )
+    # cap membership pre-aggregation (spillable window, bounded buffer;
+    # ordering by m.id == ordering by the (id, sim) struct since ids are
+    # unique, so the survivor set stays the deterministic min ids)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_idx", "chunk").orderBy(F.col("m.id"))
     buckets = (
-        chunks.groupBy("chunk_idx", "chunk")
-        .agg(F.slice(F.sort_array(F.collect_list("m")), 1, max_bucket).alias("ms"))
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .groupBy("chunk_idx", "chunk")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
     ms = F.col("ms")
