@@ -153,6 +153,9 @@ class Ctx:
     root: Any = None
     ref_depth: int = 0
     extra_formats: dict[str, Builder] = field(default_factory=dict)
+    # current base-URI scope ($id/id combined on every descent —
+    # jesse_state.erl:176-196 set_current_schema → combine_id)
+    scope: str | None = None
 
 
 def _null_skip(col: Column, body: Column) -> Column:
@@ -405,6 +408,7 @@ def compile_checks(
                    registry=registry, root=schema)
     ctx = _ctx
     schema = normalize_schema(schema, ctx.draft)
+    ctx = _scoped(ctx, schema)
     schema = hoist_ref(schema)
 
     checks: list[Check] = []
@@ -419,12 +423,18 @@ def compile_checks(
         if ctx.ref_depth >= MAX_REF_DEPTH:
             raise SchemaError("schema_unsupported",
                               f"$ref recursion deeper than {MAX_REF_DEPTH}")
-        if ctx.registry is None and not str(schema["$ref"]).startswith("#"):
+        if (ctx.registry is None and ctx.scope is None
+                and not str(schema["$ref"]).startswith("#")):
             raise SchemaError(E.SCHEMA_NOT_FOUND, schema["$ref"])
         reg = ctx.registry or SchemaRegistry()
-        target = reg.resolve_ref(schema["$ref"], ctx.root)
-        sub = Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth + 1,
-                  ctx.extra_formats)
+        target, new_root, new_scope = reg.resolve_ref(
+            schema["$ref"], ctx.root, scope=ctx.scope)
+        # a remote document re-dispatches its own $schema dialect
+        # (jesse_state.erl:233-241; CHANGELOG.md:61-63)
+        new_draft = (ctx.draft if new_root is ctx.root
+                     else detect_draft(new_root, default=ctx.draft))
+        sub = Ctx(new_draft, ctx.registry, new_root, ctx.ref_depth + 1,
+                  ctx.extra_formats, new_scope)
         return [c.prefixed("", lambda p: p) for c in compile_checks(
             target, dtype, null_is_absent=null_is_absent, _ctx=sub, _path=_path)]
 
@@ -959,7 +969,26 @@ def _reduce_or(cols: list[Column]) -> Column:
 
 
 def _child(ctx: Ctx) -> Ctx:
-    return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth, ctx.extra_formats)
+    return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth,
+               ctx.extra_formats, ctx.scope)
+
+
+def _scoped(ctx: Ctx, schema: Any) -> Ctx:
+    """Combine a subschema's ``$id`` (draft6) / ``id`` (draft3/4) into
+    the current base-URI scope — the per-descent scope update of
+    jesse_state.erl:176-196 (set_current_schema)."""
+    if not isinstance(schema, dict):
+        return ctx
+    tag = "$id" if ctx.draft >= DRAFT6 else "id"
+    sid = schema.get(tag)
+    # fragment-only ids are location-independent anchors; the reference
+    # itself skip-lists those suite cases (jesse_tests_draft4_SUITE.erl:49-55)
+    if not isinstance(sid, str) or sid == "" or sid.startswith("#"):
+        return ctx
+    from jesse_spark.schema.parser import combine_id
+
+    return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth,
+               ctx.extra_formats, combine_id(ctx.scope, sid))
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,84 @@ def resolve_pointer(doc: Any, pointer: str) -> Any:
     return node
 
 
+# ---------------------------------------------------------------------------
+# base-URI scope combination (jesse_state.erl:308-390)
+# ---------------------------------------------------------------------------
+def _is_absolute_ref(ref: str) -> bool:
+    """A ref with a URI scheme is absolute (jesse_state.erl:420-428
+    parse_ref via uri_string:parse)."""
+    return bool(urllib.parse.urlsplit(ref).scheme)
+
+
+def _raw_canonical_path(path: str) -> list[str]:
+    """Split on / or \\ and resolve ``.`` / ``..`` segments
+    (jesse_state.erl:377-390 raw_canonical_path).  Unlike the Erlang
+    (whose ``tl([])`` crashes), excess ``..`` at the root is dropped."""
+    out: list[str] = []
+    for seg in path.replace("\\", "/").split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    return out
+
+
+def _canonical_path(path: str, hint: str) -> str:
+    """Canonical URI for a combined path (jesse_state.erl:358-374)."""
+    for scheme in ("file", "http", "https"):
+        pre = scheme + "://"
+        if path.startswith(pre):
+            return pre + "/".join(_raw_canonical_path(path[len(pre):]))
+        if hint.startswith(scheme + ":"):
+            return pre + "/".join(_raw_canonical_path(path))
+    # scheme-less → absolute file path (jesse_state.erl:373-374 absname)
+    import os
+
+    return "file://" + "/".join(_raw_canonical_path(os.path.abspath(path)))
+
+
+def _dirname(uri: str) -> str:
+    # filename:dirname analog: strip the last /-component; no slash → "."
+    return uri.rsplit("/", 1)[0] if "/" in uri else "."
+
+
+def _combine_relative_id(base: str | None, rel: str) -> str:
+    """jesse_state.erl:325-355 combine_relative_id/2."""
+    if base is None:
+        return rel
+    if rel.startswith("#"):
+        # fragment-only ref: replace the base's fragment
+        return base.split("#", 1)[0] + rel
+    d = _dirname(base)
+    for scheme in ("file", "http", "https"):
+        if d == scheme + ":":
+            return _canonical_path(rel, scheme + ":")
+        pre = scheme + "://"
+        if d.startswith(pre):
+            return _canonical_path(pre + d[len(pre):] + "/" + rel, scheme + ":")
+    if d == ".":
+        return _canonical_path(rel, "file:")
+    return _canonical_path(d + "/" + rel, "file:")
+
+
+def combine_id(base: str | None, ref: str | None) -> str | None:
+    """Combine a (possibly relative) ``$ref`` / ``$id`` against the
+    current base-URI scope — jesse_state.erl:308-322 combine_id/2.
+
+    Absolute refs replace the scope; ``#frag`` swaps the fragment;
+    other relative refs resolve against dirname(scope) with ``.``/``..``
+    canonicalization."""
+    if ref is None:
+        return base
+    ref = str(ref)
+    if _is_absolute_ref(ref):
+        return ref
+    return _combine_relative_id(base, ref)
+
+
 def file_loader(uri: str) -> Any | None:
     """Default URI loader: ``file://`` only
     (jesse_database.erl:305-314)."""
@@ -188,17 +266,31 @@ class SchemaRegistry:
             self._by_id[key] = loaded
         return self._by_id[key]
 
-    def resolve_ref(self, ref: str, root: Any) -> Any:
-        """Resolve a $ref against the current root document or the store.
+    def resolve_ref(self, ref: str, root: Any,
+                    scope: str | None = None) -> tuple[Any, Any, str | None]:
+        """Resolve a $ref against the current scope, root document, or
+        the store — jesse_state.erl:206-250 resolve_ref/2.
 
-        Local refs (``#/definitions/x``) walk the root document; id refs
-        hit the store (jesse_state.erl:206-259).
+        The ref is first combined against the current base-URI ``scope``
+        (:func:`combine_id`); the combined base is LOCAL when it equals
+        the scope (or is empty with no scope) — then the pointer walks
+        the current root document.  Otherwise the base is loaded from
+        the store / loader and becomes the new root + scope (the
+        remote-document switch at jesse_state.erl:230-241).
+
+        Returns ``(target, new_root, new_scope)`` so the compiler can
+        keep resolving nested refs inside the loaded document.
         """
-        if ref.startswith("#") or ref == "":
-            return resolve_pointer(root, ref)
-        base, _, frag = ref.partition("#")
-        doc = self.load(base)
-        return resolve_pointer(doc, "#" + frag) if frag else doc
+        canonical = combine_id(scope, ref) or ""
+        base, _, frag = canonical.partition("#")
+        is_local = (base == "") if scope is None else (base == scope)
+        if is_local:
+            doc, new_root, new_scope = root, root, scope
+        else:
+            doc = self.load(base)
+            new_root, new_scope = doc, base
+        target = resolve_pointer(doc, "#" + frag) if frag else doc
+        return target, new_root, new_scope
 
 
 def hoist_ref(schema: dict) -> dict:

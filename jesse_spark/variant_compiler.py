@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jesse_spark.compiler import (
+    _scoped,
     _ANYOF_DETAIL_MAX,
     Builder,
     Check,
@@ -247,7 +248,8 @@ def _elem_canonical(e: Column, depth: int = _CANON_DEPTH) -> Column:
 
 
 def _child(ctx: Ctx) -> Ctx:
-    return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth, ctx.extra_formats)
+    return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth,
+               ctx.extra_formats, ctx.scope)
 
 
 def _guard(cond: Column, body: Column) -> Column:
@@ -272,6 +274,7 @@ def compile_variant_checks(
                    registry=registry, root=schema)
     ctx = _ctx
     schema = normalize_schema(schema, ctx.draft)
+    ctx = _scoped(ctx, schema)
     schema = hoist_ref(schema)
 
     checks: list[Check] = []
@@ -290,9 +293,12 @@ def compile_variant_checks(
             raise SchemaError("schema_unsupported",
                               f"$ref recursion deeper than {MAX_REF_DEPTH}")
         reg = ctx.registry or SchemaRegistry()
-        target = reg.resolve_ref(schema["$ref"], ctx.root)
-        sub = Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth + 1,
-                  ctx.extra_formats)
+        target, new_root, new_scope = reg.resolve_ref(
+            schema["$ref"], ctx.root, scope=ctx.scope)
+        new_draft = (ctx.draft if new_root is ctx.root
+                     else detect_draft(new_root, default=ctx.draft))
+        sub = Ctx(new_draft, ctx.registry, new_root, ctx.ref_depth + 1,
+                  ctx.extra_formats, new_scope)
         return compile_variant_checks(target, null_is_absent=null_is_absent,
                                       _ctx=sub, _path=_path)
 
