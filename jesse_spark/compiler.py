@@ -232,6 +232,21 @@ def _typed_deep_eq(col: Column, dtype: T.DataType, val: Any) -> Column:
     if isinstance(val, (int, float)):
         if not ("number" in st or "integer" in st):
             return F.lit(False)
+        # exact compare for int literal vs integral column — doubles
+        # collide past 2^53 (9007199254740992 == 9007199254740993 under
+        # cast('double')); mirrors the variant compiler's bignum branch
+        # and jesse's arbitrary-precision equality (uniqueItemsExtra.json)
+        if isinstance(val, int) and not isinstance(val, bool):
+            if isinstance(dtype, (T.ByteType, T.ShortType,
+                                  T.IntegerType, T.LongType)):
+                if -(2 ** 63) <= val < 2 ** 63:
+                    return F.coalesce(col == F.lit(val), F.lit(False))
+                return F.lit(False)  # int64 column can't hold the literal
+            if isinstance(dtype, T.DecimalType) and dtype.scale == 0:
+                return F.coalesce(
+                    col == F.lit(str(val)).cast(dtype), F.lit(False))
+        # cross int/float comparison: value equality via double, like
+        # jesse's float normalization (jesse_lib.erl:177-181)
         return F.coalesce(col.cast("double") == F.lit(float(val)), F.lit(False))
     if isinstance(val, str):
         return F.coalesce(col == F.lit(val), F.lit(False)) if "string" in st else F.lit(False)
@@ -278,11 +293,22 @@ def _enum_pred(values: list, dtype: T.DataType, col: Column,
             return "number" in st or "integer" in st
         return isinstance(v, str) and "string" in st
 
+    def _isin_safe(v: Any) -> bool:
+        # ints beyond int64 can't travel as literals (py4j) — they go
+        # through _typed_deep_eq (False on integral cols, double compare
+        # on float cols)
+        return not (isinstance(v, int) and not isinstance(v, bool)
+                    and not -(2 ** 63) <= v < 2 ** 63)
+
     if nonnull and all(isinstance(v, (bool, int, float, str)) for v in nonnull) \
             and not isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
         compat = [v for v in nonnull if _scalar_compat(v)]
+        small = [v for v in compat if _isin_safe(v)]
         # isin coerces to a common type, giving 1 == 1.0 for free
-        body = col.isin(*compat) if compat else F.lit(False)
+        body = col.isin(*small) if small else F.lit(False)
+        for v in compat:
+            if not _isin_safe(v):
+                body = body | _typed_deep_eq(col, dtype, v)
     else:
         body = F.lit(False)
         for v in nonnull:
@@ -340,6 +366,14 @@ def _typed_canonical(col: Column, dtype: T.DataType) -> Column:
     jesse_lib.erl:147-197 normalize_and_sort), numbers as double.
     Struct fields render in sorted-name order for symmetry."""
     if isinstance(dtype, _NUMERIC):
+        # integral types render exactly (bignums past 2^53 must not
+        # collide); a typed array's elements all share one static type,
+        # so the int-vs-float "1" / "1.0" split can never occur within
+        # one uniqueItems comparison
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType)) or (
+                isinstance(dtype, T.DecimalType) and dtype.scale == 0):
+            return F.coalesce(col.cast("string"), F.lit("null"))
         return F.coalesce(col.cast("double").cast("string"), F.lit("null"))
     if isinstance(dtype, T.StructType):
         parts = [

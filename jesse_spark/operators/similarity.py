@@ -112,6 +112,91 @@ def train_ivf_index(
     return cents, radii
 
 
+class IvfIndex:
+    """Materialized IVF index: centroids + per-cell radii + the assigned
+    projection (id, v, cell, ang) cached once.
+
+    The assignment argmax (C dot products per row) is the expensive
+    expression; building the index evaluates it EXACTLY once — radii
+    aggregate over the cached projection, and every subsequent search
+    filters the cached ``cell`` column instead of re-deriving it.  At
+    cluster scale, replace ``persist()`` with writing the assigned
+    projection to a bucketed-by-cell table: searches then get partition
+    pruning on the probed cells for free."""
+
+    def __init__(self, centroids: list[list[float]], radii: list[float],
+                 assigned: DataFrame) -> None:
+        self.centroids = centroids
+        self.radii = radii
+        self.assigned = assigned
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> IvfIndex:
+    """One pass over the data: assign cells, persist (id, v, cell, ang),
+    aggregate radii from the cached projection."""
+    from jesse_spark.session import ensure_parallelism
+
+    cents = train_ivf_centroids(df, vec_col, id_col, n_cells=n_cells,
+                                sample=sample, iters=iters, seed=seed)
+    v = F.col(vec_col).cast("array<double>")
+    scores = F.array(*[_dot(v, F.lit(c).cast("array<double>")) for c in cents])
+    cosc = F.array_max(scores) / _norm(v)
+    ang = F.acos(F.greatest(F.least(cosc, F.lit(1.0)), F.lit(-1.0)))
+    assigned = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), v.alias("v"),
+                (F.array_position(scores, F.array_max(scores)) - 1).alias("cell"),
+                ang.alias("ang"))
+        .persist()
+    )
+    rows = assigned.groupBy("cell").agg(F.max("ang").alias("radius")).collect()
+    radii = [0.0] * len(cents)
+    for r in rows:
+        radii[int(r["cell"])] = float(r["radius"])
+    return IvfIndex(cents, radii, assigned)
+
+
+def ivf_search(index: IvfIndex, query: list[float], k: int = 10) -> DataFrame:
+    """EXACT top-k over a built index (same bound-based probing as
+    :func:`ivf_topk_exact`, but both phases reuse the cached assignment
+    — no argmax re-evaluation, no table rescans)."""
+    qu = np.asarray(_unit(query))
+    C = np.asarray(index.centroids)
+    qdots = np.clip(C @ qu, -1.0, 1.0)
+    first = int(np.argsort(-qdots)[0])
+    q = F.lit(list(qu)).cast("array<double>")
+    cos_col = (_dot(F.col("v"), q) / _norm(F.col("v"))).alias("cosine")
+    phase1 = (
+        index.assigned.filter(F.col("cell") == first)
+        .select("id", cos_col)
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+        .collect()
+    )
+    t = phase1[k - 1]["cosine"] if len(phase1) >= k else -2.0
+    bounds = np.cos(np.maximum(0.0, np.arccos(qdots) - np.asarray(index.radii)))
+    probe = [int(c) for c in range(len(index.centroids))
+             if c == first or bounds[c] >= t - 1e-9]
+    return (
+        index.assigned.filter(F.col("cell").isin(probe))
+        .select("id", cos_col)
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ivf_topk_exact(
     df: DataFrame,
     vec_col: str,

@@ -140,5 +140,24 @@ def doc_fingerprint(text: Column) -> Column:
 
 def min_shingle_fingerprint(text: Column, k: int = 8) -> Column:
     """Winnowing-style fingerprint: min xxhash64 over k-shingles —
-    robust to local edits, cheap to compare."""
+    robust to local edits, cheap to compare.
+
+    Column-expression convenience for short strings; in a pipeline use
+    :func:`with_min_shingle_fingerprint`, which stages the char array
+    behind a projection boundary (O(n·k)) instead of the O(n²)
+    substr-seek path."""
     return F.array_min(F.transform(shingles(text, k), lambda s: F.xxhash64(s)))
+
+
+def with_min_shingle_fingerprint(df: DataFrame, text_col: str, *,
+                                 k: int = 8, out: str = "msf") -> DataFrame:
+    """Staged fingerprint: char-array shingling via
+    :func:`jesse_spark.operators.dedup.with_shingles` (one split per
+    row, O(k) slices — linear in document length), then min-hash.
+    Identical output to :func:`min_shingle_fingerprint`."""
+    from jesse_spark.operators.dedup import with_shingles
+
+    staged = with_shingles(df, text_col, k=k, out="_msf_sh")
+    return staged.withColumn(
+        out, F.array_min(F.transform(F.col("_msf_sh"), lambda s: F.xxhash64(s)))
+    ).drop("_msf_sh")

@@ -11,9 +11,14 @@ streak of invalid rows reaches ``quarantine_after`` is flagged
 quarantined and stays flagged (sticky) — the upstream feed for that
 key needs human attention even if later rows recover.
 
-Rows are ordered by ``ts_col`` INSIDE each micro-batch (Arrow batches
-arrive in arbitrary order); cross-batch order is the stream's trigger
-order, as with any stateful streaming operator.
+Rows are ordered by ``ts_col`` INSIDE each micro-batch — the whole
+group is materialized and sorted once (a key's rows can span several
+Arrow chunks whose relative order is arbitrary shuffle order, so
+per-chunk sorting would be wrong); cross-batch order is the stream's
+trigger order, as with any stateful streaming operator.  Memory note:
+this buffers one key's per-trigger rows (3 narrow columns) — bound the
+trigger interval, not the key cardinality, if a single key can exceed
+executor memory in one trigger.
 """
 
 from __future__ import annotations
@@ -56,9 +61,16 @@ def violation_streaks(
             rows, invalid, streak, quarantined = state.get
         else:
             rows, invalid, streak, quarantined = 0, 0, 0, False
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ok in pdf[valid_col].to_numpy():
+        # A key's rows within one micro-batch can span multiple Arrow
+        # chunks (default ~10k rows each) and chunk-to-chunk order is
+        # arbitrary shuffle order — sorting each chunk independently
+        # would compute the streak in wrong row order for keys with
+        # >1 chunk per trigger.  Materialize the whole group, sort once.
+        chunks = list(pdfs)
+        group = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(group):
+            group = group.sort_values(ts_col)
+            for ok in group[valid_col].to_numpy():
                 rows += 1
                 if ok:
                     streak = 0

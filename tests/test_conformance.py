@@ -319,6 +319,15 @@ DEEP_EQ_CASES = [
     ({**D4, "enum": [{"a": 1}]}, {"a": 1.0}, True),
     ({**D4, "enum": [[{"a": 1}]]}, [{"a": 1}], True),
     ({**D4, "enum": [[{"a": 1}]]}, [{"a": 2}], ["not_in_enum"]),
+    # bignum exactness past 2^53 (uniqueItemsExtra.json:7-10; a double
+    # compare would collide the neighbors) — ADVICE r2
+    ({**D6, "const": 9007199254740993}, 9007199254740993, True),
+    ({**D6, "const": 9007199254740992}, 9007199254740993, ["not_in_enum"]),
+    ({**D4, "enum": [9007199254740992]}, 9007199254740993, ["not_in_enum"]),
+    ({**D4, "enum": [{"a": 9007199254740992}]}, {"a": 9007199254740993},
+     ["not_in_enum"]),
+    # int literal beyond int64 can never equal an int64 column
+    ({**D6, "const": 2 ** 70}, 1, ["not_in_enum"]),
 ]
 
 
@@ -326,6 +335,30 @@ DEEP_EQ_CASES = [
                          ids=[f"deep{i}" for i in range(len(DEEP_EQ_CASES))])
 def test_deep_equality(spark, schema, data, expected):
     run_case(spark, schema, data, expected)
+
+
+def test_unique_items_bignum_in_map_elements(spark):
+    """uniqueItems over map-bearing elements goes through the canonical
+    text rendering; integral values must render exactly so bignum
+    neighbors past 2^53 stay distinct (ADVICE r2: the double-string
+    collision)."""
+    df = spark.createDataFrame(
+        [(1, [{"k": 9007199254740992}, {"k": 9007199254740993}]),
+         (2, [{"k": 9007199254740992}, {"k": 9007199254740992}])],
+        "id long, value array<map<string,bigint>>")
+    checks = compile_checks({**D4, "uniqueItems": True},
+                            df.schema["value"].dataType, null_is_absent=False)
+    rows = {r["id"]: r["ok"] for r in df.select(
+        "id", _reduce_and_checks(checks).alias("ok")).collect()}
+    assert rows[1] is True      # distinct bignums: unique
+    assert rows[2] is False     # true duplicate still caught
+
+
+def _reduce_and_checks(checks):
+    out = F.lit(True)
+    for c in checks:
+        out = out & F.coalesce(c.pred(F.col("value")), F.lit(False))
+    return out
 
 
 def test_enum_object_on_map_column(spark):

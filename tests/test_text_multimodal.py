@@ -66,6 +66,36 @@ def test_fingerprints(spark):
     assert by[0]["fp"] != by[2]["fp"]
 
 
+def test_staged_min_shingle_fingerprint_matches_and_scales(spark):
+    """with_min_shingle_fingerprint must equal the column expression on
+    a normal corpus, AND complete on a 100KB document — the O(n²)
+    substr-seek path would need ~10^10 char operations there (minutes),
+    so finishing inside normal test time is the linearity evidence
+    (absolute timing asserts are hopeless on this shared host)."""
+    from jesse_spark.operators.text import with_min_shingle_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "different text")],
+        "doc_id long, text string")
+    col_fp = {r["doc_id"]: r["msf"] for r in df.select(
+        "doc_id", min_shingle_fingerprint(F.col("text")).alias("msf")).collect()}
+    staged_fp = {r["doc_id"]: r["msf"] for r in
+                 with_min_shingle_fingerprint(df, "text").select(
+                     "doc_id", "msf").collect()}
+    assert col_fp == staged_fp
+    # 100KB doc through the staged path
+    big = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 2000)
+    bdf = spark.createDataFrame([(0, big), (1, big + " changed tail")],
+                                "doc_id long, text string")
+    rows = {r["doc_id"]: r["msf"] for r in
+            with_min_shingle_fingerprint(bdf, "text").select(
+                "doc_id", "msf").collect()}
+    assert rows[0] is not None and rows[1] is not None
+    # min-shingle fingerprint of a repeated-text doc survives a local
+    # tail edit (the min over shared shingles dominates)
+    assert rows[0] == rows[1]
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [("m0", b"\x01\x02payload0", "image", "image/raw", 16, 12, None, None),
