@@ -46,6 +46,19 @@ def _read_input(spark, path: str):
     return spark.read.table(path)  # catalog table
 
 
+def pin_input_ref(spark, input_ref: str) -> str:
+    """Pin an un-pinned iceberg ref to the table's CURRENT snapshot:
+    lazy batch actions would otherwise each re-resolve "latest", so a
+    mid-run commit could make later shards validate data the recorded
+    snapshot id never saw.  Already-pinned refs (``@snap``) and
+    non-iceberg inputs pass through unchanged."""
+    if input_ref.startswith("iceberg:") and "@" not in input_ref:
+        from jesse_spark.plans.checkpoint import input_snapshot_id
+
+        return f"{input_ref}@{input_snapshot_id(spark, input_ref)}"
+    return input_ref
+
+
 def cmd_validate(args) -> int:
     from jesse_spark.plans.pipeline import run_full_suite
     from jesse_spark.plans.report import write_json_reports, write_violations
@@ -54,15 +67,8 @@ def cmd_validate(args) -> int:
 
     spark = get_spark("jesse-spark-validate", master=args.master)
     input_ref = args.input
-    if args.checkpoint_dir and input_ref.startswith("iceberg:") \
-            and "@" not in input_ref:
-        # pin the table to its CURRENT snapshot for the whole run:
-        # lazy batch actions would otherwise each re-resolve "latest",
-        # so a mid-run commit could make later shards validate data the
-        # recorded snapshot id never saw
-        from jesse_spark.plans.checkpoint import input_snapshot_id as _snap_of
-
-        input_ref = f"{input_ref}@{_snap_of(spark, input_ref)}"
+    if args.checkpoint_dir:
+        input_ref = pin_input_ref(spark, input_ref)
     clips = _read_input(spark, input_ref)
     schema = json.loads(open(args.schema).read()) if args.schema else None
     codecs = _read_input(spark, args.codecs) if args.codecs else codecs_df(spark)
@@ -96,8 +102,17 @@ def cmd_validate(args) -> int:
     # moves underneath us
     snap = input_snapshot_id(spark, input_ref)
     cm = CheckpointManager(spark, args.checkpoint_dir)
+    # outputs are scoped by run_id AND snapshot: reusing a --run-id
+    # after the input changed (new snapshot ⇒ all shards pending again)
+    # must not inherit stale (shard, constraint) partitions that were
+    # dirty under the old snapshot but are clean now — dynamic overwrite
+    # only replaces partitions present in the NEW write (ADVICE r2)
+    out_dir = f"{args.output}/run_id={args.run_id}/snapshot={snap}"
+    rep_dir = (f"{args.json_reports}/run_id={args.run_id}/snapshot={snap}"
+               if args.json_reports else None)
     rows_this_run = _validate_checkpointed(spark, args, clips, codecs, schema,
-                                           cm=cm, snap=snap)
+                                           cm=cm, snap=snap,
+                                           out_dir=out_dir, rep_dir=rep_dir)
     # run verdict = union of ALL completed shards' manifests, so a
     # resumed (or re-run) invocation reports and exits on the whole run,
     # not just the shards it happened to process
@@ -106,13 +121,14 @@ def cmd_validate(args) -> int:
         "rows": rows, "invalid_rows": invalid,
         "rows_this_run": rows_this_run,
         "wall_sec": round(time.time() - t0, 2),
-        "violations_path": args.output,
+        "violations_path": out_dir,
     }))
     spark.stop()
     return 1 if invalid > 0 else 0
 
 
-def _validate_checkpointed(spark, args, clips, codecs, schema, *, cm, snap) -> int:
+def _validate_checkpointed(spark, args, clips, codecs, schema, *, cm, snap,
+                           out_dir, rep_dir) -> int:
     """Resumable run: shards are processed in ``--shard-batches`` groups;
     each group's violations/reports land in per-shard partitions via
     DYNAMIC partition overwrite (completed shards' output is never
@@ -131,12 +147,6 @@ def _validate_checkpointed(spark, args, clips, codecs, schema, *, cm, snap) -> i
 
     n_batches = max(1, min(args.shard_batches, len(pending) or 1))
     rows_this_run = 0
-    # outputs are scoped per run id: dynamic overwrite only replaces the
-    # partitions a batch writes, so without the scope a previous run's
-    # (different run-id / snapshot) shard partitions would survive in
-    # the same directory and be read as if they were this run's
-    out_dir = f"{args.output}/run_id={args.run_id}"
-    rep_dir = f"{args.json_reports}/run_id={args.run_id}" if args.json_reports else None
     for b in range(n_batches):
         batch = [s for s in pending if s % n_batches == b]
         if not batch:

@@ -50,7 +50,18 @@ from jesse_spark.schema.parser import (
 )
 
 MAX_REF_DEPTH = 16  # bounded unrolling for recursive $refs (SURVEY §2.3 #30)
-_ANYOF_DETAIL_MAX = 24  # anyOf branch-detail cap (see _combinator_checks)
+_ANYOF_DETAIL_MAX = 24  # default anyOf branch-detail cap (compile option)
+
+
+def _warn_anyof_detail_dropped(total: int, cap: int) -> None:
+    import warnings
+
+    warnings.warn(
+        f"anyOf branch detail dropped: {total} branch checks exceed the "
+        f"detail cap ({cap}); violations will carry only the combinator "
+        "verdict (any_schemas_not_valid) without per-branch detail. "
+        "Pass anyof_detail_max to compile_checks/validate to raise it.",
+        stacklevel=3)
 
 # ---------------------------------------------------------------------------
 # format regexes (jesse_validator_draft4.erl:975-1004; draft6 adds
@@ -156,6 +167,13 @@ class Ctx:
     # current base-URI scope ($id/id combined on every descent —
     # jesse_state.erl:176-196 set_current_schema → combine_id)
     scope: str | None = None
+    # anyOf branch-detail budget (compile option; None → module default)
+    anyof_detail_max: int | None = None
+
+    @property
+    def detail_max(self) -> int:
+        return _ANYOF_DETAIL_MAX if self.anyof_detail_max is None \
+            else self.anyof_detail_max
 
 
 def _null_skip(col: Column, body: Column) -> Column:
@@ -430,6 +448,7 @@ def compile_checks(
     registry: SchemaRegistry | None = None,
     draft: int | None = None,
     null_is_absent: bool = False,
+    anyof_detail_max: int | None = None,
     _ctx: Ctx | None = None,
     _path: str = "",
 ) -> list[Check]:
@@ -439,7 +458,8 @@ def compile_checks(
     (jesse_validator_draft4.erl:84-260)."""
     if _ctx is None:
         _ctx = Ctx(draft=detect_draft(schema) if draft is None else draft,
-                   registry=registry, root=schema)
+                   registry=registry, root=schema,
+                   anyof_detail_max=anyof_detail_max)
     ctx = _ctx
     schema = normalize_schema(schema, ctx.draft)
     ctx = _scoped(ctx, schema)
@@ -468,7 +488,7 @@ def compile_checks(
         new_draft = (ctx.draft if new_root is ctx.root
                      else detect_draft(new_root, default=ctx.draft))
         sub = Ctx(new_draft, ctx.registry, new_root, ctx.ref_depth + 1,
-                  ctx.extra_formats, new_scope)
+                  ctx.extra_formats, new_scope, ctx.anyof_detail_max)
         return [c.prefixed("", lambda p: p) for c in compile_checks(
             target, dtype, null_is_absent=null_is_absent, _ctx=sub, _path=_path)]
 
@@ -923,11 +943,14 @@ def _combinator_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str,
             # (jesse_validator_draft4.erl:1156-1179 + shortest/2 :1365-1373).
             # Each detail check re-evaluates all B×C branch predicates, so
             # the full set costs O((B·C)²) expression nodes — capped at
-            # _ANYOF_DETAIL_MAX total branch checks to keep the projection
+            # ctx.detail_max total branch checks to keep the projection
             # inside whole-stage codegen; beyond it only the combinator
-            # verdict is reported (detail degrades, verdict never does)
-            if any(branch_checks) and \
-                    sum(len(bc) for bc in branch_checks) <= _ANYOF_DETAIL_MAX:
+            # verdict is reported (detail degrades, verdict never does —
+            # and the drop is WARNED at compile time, not silent)
+            n_branch_checks = sum(len(bc) for bc in branch_checks)
+            if any(branch_checks) and n_branch_checks > ctx.detail_max:
+                _warn_anyof_detail_dropped(n_branch_checks, ctx.detail_max)
+            if any(branch_checks) and n_branch_checks <= ctx.detail_max:
 
                 def _fail_counts(c: Column) -> Column:
                     per_branch = []
@@ -1004,7 +1027,7 @@ def _reduce_or(cols: list[Column]) -> Column:
 
 def _child(ctx: Ctx) -> Ctx:
     return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth,
-               ctx.extra_formats, ctx.scope)
+               ctx.extra_formats, ctx.scope, ctx.anyof_detail_max)
 
 
 def _scoped(ctx: Ctx, schema: Any) -> Ctx:
@@ -1022,7 +1045,8 @@ def _scoped(ctx: Ctx, schema: Any) -> Ctx:
     from jesse_spark.schema.parser import combine_id
 
     return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth,
-               ctx.extra_formats, combine_id(ctx.scope, sid))
+               ctx.extra_formats, combine_id(ctx.scope, sid),
+               ctx.anyof_detail_max)
 
 
 # ---------------------------------------------------------------------------

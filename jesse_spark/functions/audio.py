@@ -138,12 +138,7 @@ def synth_pcm(clip_id: str, sr_hz: int, n_samples: int) -> np.ndarray:
     clip_id (stream 1) so any consumer can re-derive it.  Deterministic:
     the rng parameter draws are always float64; only the waveform dtype
     varies with clip length (see _F32_MAX_SECONDS)."""
-    rng = _id_seed(clip_id, 1)
-    n_tones = int(rng.integers(1, 4))
-    freqs = rng.uniform(100.0, min(3500.0, sr_hz / 2 * 0.9), size=n_tones)
-    phases = rng.uniform(0, 2 * np.pi, size=n_tones)
-    amps = rng.uniform(0.2, 0.9, size=n_tones)
-    amps = amps / amps.sum() * 0.8
+    freqs, phases, amps = _synth_params(clip_id, sr_hz)
     if n_samples <= _F32_MAX_SECONDS * sr_hz:
         t = np.arange(n_samples, dtype=np.float32) / np.float32(sr_hz)
         x = np.zeros(n_samples, dtype=np.float32)
@@ -155,6 +150,75 @@ def synth_pcm(clip_id: str, sr_hz: int, n_samples: int) -> np.ndarray:
     for f, p, a in zip(freqs, phases, amps):
         x += a * np.sin(2 * np.pi * f * t + p)
     return np.round(x * 32767.0).astype(np.int16)
+
+
+def _synth_params(clip_id: str, sr_hz: int):
+    """The per-clip tone parameter draws of :func:`synth_pcm` (always
+    float64; the waveform dtype is decided separately)."""
+    rng = _id_seed(clip_id, 1)
+    n_tones = int(rng.integers(1, 4))
+    freqs = rng.uniform(100.0, min(3500.0, sr_hz / 2 * 0.9), size=n_tones)
+    phases = rng.uniform(0, 2 * np.pi, size=n_tones)
+    amps = rng.uniform(0.2, 0.9, size=n_tones)
+    amps = amps / amps.sum() * 0.8
+    return freqs, phases, amps
+
+
+# chunk bound for the (tones × samples) sin matrix: ~8M f32 elements
+# (32 MB) keeps the batch synthesis cache-friendly and bounded
+_SYNTH_CHUNK_ELEMS = 8_000_000
+
+
+def synth_pcm_batch(clip_ids, sr_arr, len_arr) -> list:
+    """Batch reference synthesis: clips sharing (sr_hz, n_samples) share
+    ONE time base, and all their tones evaluate as a single
+    (total_tones × n_samples) vectorized sin — summed back per clip with
+    ``np.add.reduceat`` in tone order, so the accumulation order (and
+    therefore every rounded sample) is BIT-IDENTICAL to clip-at-a-time
+    :func:`synth_pcm`.  Returns a list of int16 arrays."""
+    out: list = [None] * len(clip_ids)
+    groups: dict = {}
+    for i, (sr, n) in enumerate(zip(sr_arr, len_arr)):
+        groups.setdefault((int(sr), int(n)), []).append(i)
+    for (sr, n), idxs in groups.items():
+        use_f32 = n <= _F32_MAX_SECONDS * sr
+        if n == 0:
+            for i in idxs:
+                out[i] = np.zeros(0, dtype=np.int16)
+            continue
+        if use_f32:
+            t = np.arange(n, dtype=np.float32) / np.float32(sr)
+        else:
+            t = np.arange(n, dtype=np.float64) / sr
+        # chunk by clip so the tone matrix stays bounded
+        per_clip = max(1, _SYNTH_CHUNK_ELEMS // (3 * n) or 1)
+        for s in range(0, len(idxs), per_clip):
+            chunk = idxs[s:s + per_clip]
+            F_l, P_l, A_l, starts, pos = [], [], [], [], 0
+            for i in chunk:
+                f, p, a = _synth_params(clip_ids[i], sr)
+                starts.append(pos)
+                pos += len(f)
+                F_l.append(f)
+                P_l.append(p)
+                A_l.append(a)
+            Fv = np.concatenate(F_l)
+            Pv = np.concatenate(P_l)
+            Av = np.concatenate(A_l)
+            if use_f32:
+                W = (2 * np.pi * Fv).astype(np.float32)
+                m = Av.astype(np.float32)[:, None] * np.sin(
+                    W[:, None] * t[None, :] + Pv.astype(np.float32)[:, None])
+            else:
+                m = Av[:, None] * np.sin(
+                    (2 * np.pi * Fv)[:, None] * t[None, :] + Pv[:, None])
+            sums = np.add.reduceat(m, np.asarray(starts), axis=0)
+            for j, i in enumerate(chunk):
+                if use_f32:
+                    out[i] = np.round(sums[j] * np.float32(32767.0)).astype(np.int16)
+                else:
+                    out[i] = np.round(sums[j] * 32767.0).astype(np.int16)
+    return out
 
 
 def reference_transcript(clip_id: str) -> str:
@@ -228,13 +292,22 @@ def _verify_batch(clip_id: pd.Series, raw: pd.Series, codec: pd.Series,
     tr = transcript.to_numpy(dtype=object)
     rw = raw.to_numpy(dtype=object)
     decoded = _decode_batch(rw, cod)
-    for i in range(n):  # per-clip synth params force a loop; numpy inside
+    for i in range(n):
         t_ok[i] = (tr[i] is not None
                    and tr[i] == reference_transcript(cid[i]))
-        if decoded[i] is None:
-            continue  # unknown codec / null bytes → snr stays -inf
+    # batch synthesis: clips sharing (sr, n_samples) share one time base
+    # and one vectorized tone matrix (synth_pcm_batch)
+    todo = [i for i in range(n) if decoded[i] is not None]
+    try:
+        refs = synth_pcm_batch([cid[i] for i in todo],
+                               [int(sr[i]) for i in todo],
+                               [len(decoded[i]) for i in todo])
+    except Exception:
+        refs = None
+    for j, i in enumerate(todo):
         try:
-            ref = synth_pcm(cid[i], int(sr[i]), len(decoded[i]))
+            ref = refs[j] if refs is not None else synth_pcm(
+                cid[i], int(sr[i]), len(decoded[i]))
             snrs[i] = snr_db(ref, decoded[i])
         except Exception:
             snrs[i] = -np.inf

@@ -128,11 +128,16 @@ def validate(
     *,
     registry: SchemaRegistry | None = None,
     draft: int | None = None,
+    anyof_detail_max: int | None = None,
 ) -> ValidationResult:
     """Compile ``schema`` against ``df``'s static schema and build the
-    full lazy validation plan (nothing executes until an action)."""
+    full lazy validation plan (nothing executes until an action).
+
+    ``anyof_detail_max`` raises/lowers the anyOf branch-detail budget
+    (a compile-time warning fires when detail is dropped)."""
     checks = compile_checks(schema, df.schema, registry=registry, draft=draft,
-                            null_is_absent=True)
+                            null_is_absent=True,
+                            anyof_detail_max=anyof_detail_max)
     validated = with_violations(df, checks)
     return ValidationResult(
         validated=validated,

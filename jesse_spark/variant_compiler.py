@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 
 from jesse_spark.compiler import (
     _scoped,
+    _warn_anyof_detail_dropped,
     _ANYOF_DETAIL_MAX,
     Builder,
     Check,
@@ -266,12 +267,14 @@ def compile_variant_checks(
     registry: SchemaRegistry | None = None,
     draft: int | None = None,
     null_is_absent: bool = False,
+    anyof_detail_max: int | None = None,
     _ctx: Ctx | None = None,
     _path: str = "",
 ) -> list[Check]:
     if _ctx is None:
         _ctx = Ctx(draft=detect_draft(schema) if draft is None else draft,
-                   registry=registry, root=schema)
+                   registry=registry, root=schema,
+                   anyof_detail_max=anyof_detail_max)
     ctx = _ctx
     schema = normalize_schema(schema, ctx.draft)
     ctx = _scoped(ctx, schema)
@@ -553,9 +556,12 @@ def compile_variant_checks(
             # shortest-error-branch detail (jesse_validator_draft4.erl:
             # 1156-1179 + shortest/2 :1365-1373): when every branch
             # fails, surface the first fewest-failures branch's codes.
-            # Capped like the typed compiler: O((B·C)²) expression cost
-            if any(branch_checks) and \
-                    sum(len(bc) for bc in branch_checks) <= _ANYOF_DETAIL_MAX:
+            # Capped like the typed compiler: O((B·C)²) expression cost;
+            # the drop is warned, not silent
+            n_branch_checks = sum(len(bc) for bc in branch_checks)
+            if any(branch_checks) and n_branch_checks > ctx.detail_max:
+                _warn_anyof_detail_dropped(n_branch_checks, ctx.detail_max)
+            if any(branch_checks) and n_branch_checks <= ctx.detail_max:
 
                 def _best_idx(v: Column) -> Column:
                     per_branch = []

@@ -59,3 +59,40 @@ def test_synth_deterministic():
     assert not np.array_equal(a, c)
     assert audio.reference_transcript("x") == audio.reference_transcript("x")
     assert 1 <= len(audio.reference_transcript("x")) <= 200
+
+
+def test_synth_batch_bit_identical_to_per_clip():
+    """synth_pcm_batch must reproduce synth_pcm SAMPLE-FOR-SAMPLE for
+    mixed (sr, n) groups, both f32 (short) and f64 (>4 s) paths — the
+    vectorized tone matrix + reduceat keeps the accumulation order."""
+    import numpy as np
+
+    from jesse_spark.functions.audio import synth_pcm, synth_pcm_batch
+
+    cases = [
+        (f"clip-{i:04x}", sr, n)
+        for i, (sr, n) in enumerate([
+            (8000, 1600), (8000, 1600), (16000, 1600), (8000, 0),
+            (8000, 40000),              # 5 s @ 8 kHz → f64 path
+            (16000, 16000), (8000, 1600), (16000, 70000),  # 4.375 s f64
+        ])
+    ]
+    batch = synth_pcm_batch([c[0] for c in cases], [c[1] for c in cases],
+                            [c[2] for c in cases])
+    for (cid, sr, n), got in zip(cases, batch):
+        exp = synth_pcm(cid, sr, n)
+        assert got.dtype == np.int16 and len(got) == n
+        assert np.array_equal(got, exp), (cid, sr, n)
+
+
+def test_synth_batch_chunking_boundary(monkeypatch):
+    """Chunked groups (tiny _SYNTH_CHUNK_ELEMS) still bit-match."""
+    import numpy as np
+
+    import jesse_spark.functions.audio as A
+
+    monkeypatch.setattr(A, "_SYNTH_CHUNK_ELEMS", 2000)
+    cids = [f"c{i}" for i in range(7)]
+    batch = A.synth_pcm_batch(cids, [8000] * 7, [1600] * 7)
+    for cid, got in zip(cids, batch):
+        assert np.array_equal(got, A.synth_pcm(cid, 8000, 1600))

@@ -161,6 +161,120 @@ def test_cli_end_to_end(spark, tmp_path):
     assert _violation_set(spark, out) == exp
 
 
+def test_cli_same_run_id_new_snapshot_no_stale_violations(spark, tmp_path):
+    """Reusing a --run-id after the input changed must not inherit
+    stale violation partitions: a shard that was dirty under the old
+    snapshot but is clean now would survive dynamic overwrite (only
+    partitions present in the NEW write are replaced) — outputs are
+    therefore scoped by snapshot too, and the summary prints the scoped
+    path (ADVICE r2)."""
+    from jesse_spark.sources.fixtures import clips_df
+
+    n = 60
+    inp = str(tmp_path / "clips")
+    clips_df(spark, n).write.parquet(inp)
+    out = str(tmp_path / "violations")
+    ckpt = str(tmp_path / "ckpt")
+    cmd = [sys.executable, "-m", "jesse_spark.cli", "validate",
+           "--input", inp, "--output", out, "--master", "local[2]",
+           "--checkpoint-dir", ckpt, "--run-id", "same", "--shards", "4",
+           "--no-audio"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    stats1 = _cli_stats(r1)
+    assert r1.returncode == 1 and stats1["invalid_rows"] > 0
+    assert f"run_id=same/snapshot=" in stats1["violations_path"]
+    assert spark.read.parquet(stats1["violations_path"]).count() > 0
+
+    # replace the input with an all-clean table (new snapshot, same dir):
+    # drop every clip the golden violation set names
+    import shutil
+
+    from jesse_spark.sources.fixtures import expected_violations
+
+    bad = [t[0] for t in expected_violations(n).values.tolist()]
+    shutil.rmtree(inp)
+    clips_df(spark, n).filter(~F.col("clip_id").isin(bad)).write.parquet(inp)
+    r2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    stats2 = _cli_stats(r2)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert stats2["invalid_rows"] == 0
+    # the new snapshot's scoped violations dir is clean — the old
+    # snapshot's violations live under a DIFFERENT scoped path
+    assert stats2["violations_path"] != stats1["violations_path"]
+    import glob
+
+    new_files = glob.glob(f"{stats2['violations_path']}/**/*.parquet",
+                          recursive=True)
+    assert not any(new_files), "stale violations leaked into the new snapshot"
+
+
+def test_read_input_iceberg_wiring():
+    """The gated iceberg source: format('iceberg'), snapshot-id option
+    for pinned refs, load(table) — pinned against a stubbed reader so
+    the contract holds without the runtime jar (VERDICT r2 #7)."""
+    from jesse_spark.cli import _read_input, pin_input_ref
+
+    class FakeReader:
+        def __init__(self, log):
+            self.log = log
+
+        def format(self, fmt):
+            self.log["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            self.log.setdefault("options", {})[k] = v
+            return self
+
+        def load(self, table):
+            self.log["table"] = table
+            return "DF"
+
+    class FakeSpark:
+        def __init__(self):
+            self.log = {}
+
+        @property
+        def read(self):
+            return FakeReader(self.log)
+
+    # pinned ref → snapshot-id option wired
+    s = FakeSpark()
+    assert _read_input(s, "iceberg:cat.db.clips@12345") == "DF"
+    assert s.log == {"format": "iceberg",
+                     "options": {"snapshot-id": "12345"},
+                     "table": "cat.db.clips"}
+    # un-pinned ref → no snapshot option
+    s2 = FakeSpark()
+    _read_input(s2, "iceberg:cat.db.clips")
+    assert "options" not in s2.log and s2.log["table"] == "cat.db.clips"
+    # pin_input_ref: already-pinned refs must NOT re-resolve (the @snap
+    # re-resolution guard); non-iceberg inputs pass through
+    assert pin_input_ref(None, "iceberg:t@99") == "iceberg:t@99"
+    assert pin_input_ref(None, "/some/path") == "/some/path"
+    # snapshot identity of a pinned ref is the pin itself (no catalog hit)
+    from jesse_spark.plans.checkpoint import input_snapshot_id
+
+    assert input_snapshot_id(None, "iceberg:t@424242") == "424242"
+
+
+def test_pin_input_ref_resolves_current_snapshot(monkeypatch):
+    """An un-pinned iceberg ref is pinned exactly once via
+    input_snapshot_id (mocked — no runtime jar in the sandbox)."""
+    import jesse_spark.plans.checkpoint as ckpt
+    from jesse_spark.cli import pin_input_ref
+
+    calls = []
+
+    def fake_snap(spark, ref):
+        calls.append(ref)
+        return "777"
+
+    monkeypatch.setattr(ckpt, "input_snapshot_id", fake_snap)
+    assert pin_input_ref(None, "iceberg:cat.db.t") == "iceberg:cat.db.t@777"
+    assert calls == ["iceberg:cat.db.t"]
+
+
 def test_cli_resume_skips_completed_shards(spark, tmp_path):
     """A manifest recorded for some shards (simulating a partial run)
     makes the next invocation process only the remainder, and the run
