@@ -142,7 +142,11 @@ def _canonical_path(path: str, hint: str) -> str:
 
 def _dirname(uri: str) -> str:
     # filename:dirname analog: strip the last /-component; no slash → "."
-    return uri.rsplit("/", 1)[0] if "/" in uri else "."
+    d = uri.rsplit("/", 1)[0] if "/" in uri else "."
+    # "scheme://host" (no path) → Erlang's dirname collapses to "scheme:"
+    if d in ("file:/", "http:/", "https:/"):
+        return d[:-1]
+    return d
 
 
 def _combine_relative_id(base: str | None, rel: str) -> str:
