@@ -206,7 +206,8 @@ def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn(
         "prefix", F.substring("text", 1, 30))
     return exact_duplicates(d, "prefix", "doc_id").select(
-        "text_hash", F.col("dup_count").cast("bigint").alias("dup_count"))
+        "text_hash", F.col("dup_count").cast("bigint").alias("dup_count"),
+        F.col("min_id").cast("bigint").alias("min_id"))
 
 
 def q_dedup_keep_first(spark, sf_dir):
@@ -352,6 +353,31 @@ def q_ivf_topk(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_kvc_path(spark, sf_dir):
+    """Per-row KVC dot-path aggregates (jesse_json_path.erl:173-209 via
+    functions/paths.kvc_path): collect each order's line items as an
+    array of structs, then evaluate 'qty.@sum' / '@count' / 'qty.@max'
+    — the plain-key-over-collection + @-aggregate chain."""
+    from jesse_spark.functions.paths import kvc_path
+
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        ))).alias("items"))
+    itype = grouped.schema["items"].dataType
+    qty_sum, _ = kvc_path(F.col("items"), itype, "qty.@sum")
+    n_items, _ = kvc_path(F.col("items"), itype, "@count")
+    qty_max, _ = kvc_path(F.col("items"), itype, "qty.@max")
+    return grouped.select(
+        "l_orderkey",
+        F.round(qty_sum, 2).alias("qty_sum"),
+        n_items.alias("n_items"),
+        F.round(qty_max, 2).alias("qty_max"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from jesse_spark.operators.text import with_lang_id
 
@@ -405,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
+        "kvc_path": q_kvc_path,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
     }
@@ -677,7 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks": _KS_SQL,
         "dedup_exact": (
             "SELECT md5(trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g'))) AS text_hash, "
-            "count(*) AS dup_count FROM documents "
+            "count(*) AS dup_count, min(doc_id) AS min_id FROM documents "
             "GROUP BY 1 HAVING count(*) > 1"),
         "dedup_keep_first": (
             "SELECT doc_id FROM ("
@@ -719,6 +746,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id <> 0 "
             "ORDER BY list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC LIMIT 10"),
+        "kvc_path": (
+            "SELECT l_orderkey, round(sum(CAST(l_quantity AS DOUBLE)), 2) AS qty_sum, "
+            "count(*) AS n_items, round(max(CAST(l_quantity AS DOUBLE)), 2) AS qty_max "
+            "FROM lineitem GROUP BY l_orderkey"),
         "lang_id": _LANG_ID_SQL,
         "quality_scores": _QUALITY_SQL,
     }
