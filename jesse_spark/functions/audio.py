@@ -164,61 +164,25 @@ def _synth_params(clip_id: str, sr_hz: int):
     return freqs, phases, amps
 
 
-# chunk bound for the (tones × samples) sin matrix: ~8M f32 elements
-# (32 MB) keeps the batch synthesis cache-friendly and bounded
-_SYNTH_CHUNK_ELEMS = 8_000_000
-
-
 def synth_pcm_batch(clip_ids, sr_arr, len_arr) -> list:
-    """Batch reference synthesis: clips sharing (sr_hz, n_samples) share
-    ONE time base, and all their tones evaluate as a single
-    (total_tones × n_samples) vectorized sin — summed back per clip with
-    ``np.add.reduceat`` in tone order, so the accumulation order (and
-    therefore every rounded sample) is BIT-IDENTICAL to clip-at-a-time
-    :func:`synth_pcm`.  Returns a list of int16 arrays."""
-    out: list = [None] * len(clip_ids)
-    groups: dict = {}
-    for i, (sr, n) in enumerate(zip(sr_arr, len_arr)):
-        groups.setdefault((int(sr), int(n)), []).append(i)
-    for (sr, n), idxs in groups.items():
-        use_f32 = n <= _F32_MAX_SECONDS * sr
-        if n == 0:
-            for i in idxs:
-                out[i] = np.zeros(0, dtype=np.int16)
-            continue
-        if use_f32:
-            t = np.arange(n, dtype=np.float32) / np.float32(sr)
-        else:
-            t = np.arange(n, dtype=np.float64) / sr
-        # chunk by clip so the tone matrix stays bounded
-        per_clip = max(1, _SYNTH_CHUNK_ELEMS // (3 * n) or 1)
-        for s in range(0, len(idxs), per_clip):
-            chunk = idxs[s:s + per_clip]
-            F_l, P_l, A_l, starts, pos = [], [], [], [], 0
-            for i in chunk:
-                f, p, a = _synth_params(clip_ids[i], sr)
-                starts.append(pos)
-                pos += len(f)
-                F_l.append(f)
-                P_l.append(p)
-                A_l.append(a)
-            Fv = np.concatenate(F_l)
-            Pv = np.concatenate(P_l)
-            Av = np.concatenate(A_l)
-            if use_f32:
-                W = (2 * np.pi * Fv).astype(np.float32)
-                m = Av.astype(np.float32)[:, None] * np.sin(
-                    W[:, None] * t[None, :] + Pv.astype(np.float32)[:, None])
-            else:
-                m = Av[:, None] * np.sin(
-                    (2 * np.pi * Fv)[:, None] * t[None, :] + Pv[:, None])
-            sums = np.add.reduceat(m, np.asarray(starts), axis=0)
-            for j, i in enumerate(chunk):
-                if use_f32:
-                    out[i] = np.round(sums[j] * np.float32(32767.0)).astype(np.int16)
-                else:
-                    out[i] = np.round(sums[j] * 32767.0).astype(np.int16)
-    return out
+    """Batch entry point for reference synthesis — MEASURED to be a
+    thin per-clip loop on purpose.
+
+    Two cross-clip vectorizations were built and benchmarked (r3):
+    (a) group by exact (sr, n_samples) and evaluate all tones as one
+    (tones × n) sin matrix + reduceat; (b) group by sr with a shared
+    max-length time base (``arange(n)/sr`` is a prefix of
+    ``arange(max_n)/sr``) and slice per clip.  Both LOSE to the plain
+    loop on realistic length distributions (4000 clips, 0.2-2 s:
+    loop 0.47 s, (a) 1.33 s, (b) 2.7 s): at n ≈ 10-50 k samples the
+    per-clip numpy ops are already SIMD-bound, and the 2-D formulation
+    quadruples memory traffic (three (tones × max_n) temporaries that
+    no longer fit L2) while ``np.add.reduceat`` on float32 also breaks
+    the bit-exact left-to-right accumulation the golden tests pin.
+    Keep the loop; the win for the audio stage came from batch-level
+    G.711 decode (``_decode_batch``), not synthesis batching."""
+    return [synth_pcm(cid, int(sr), int(n))
+            for cid, sr, n in zip(clip_ids, sr_arr, len_arr)]
 
 
 def reference_transcript(clip_id: str) -> str:

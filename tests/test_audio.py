@@ -63,8 +63,9 @@ def test_synth_deterministic():
 
 def test_synth_batch_bit_identical_to_per_clip():
     """synth_pcm_batch must reproduce synth_pcm SAMPLE-FOR-SAMPLE for
-    mixed (sr, n) groups, both f32 (short) and f64 (>4 s) paths — the
-    vectorized tone matrix + reduceat keeps the accumulation order."""
+    mixed (sr, n) inputs, both f32 (short) and f64 (>4 s) paths (it is
+    deliberately a per-clip loop — see its docstring for the
+    measurements that killed the matrix formulations)."""
     import numpy as np
 
     from jesse_spark.functions.audio import synth_pcm, synth_pcm_batch
@@ -85,14 +86,18 @@ def test_synth_batch_bit_identical_to_per_clip():
         assert np.array_equal(got, exp), (cid, sr, n)
 
 
-def test_synth_batch_chunking_boundary(monkeypatch):
-    """Chunked groups (tiny _SYNTH_CHUNK_ELEMS) still bit-match."""
+def test_synth_batch_realistic_length_distribution():
+    """Bit-identity over a realistic near-unique length distribution
+    (the case that exposed the reduceat accumulation-order mismatch in
+    the killed matrix formulation)."""
     import numpy as np
 
     import jesse_spark.functions.audio as A
 
-    monkeypatch.setattr(A, "_SYNTH_CHUNK_ELEMS", 2000)
-    cids = [f"c{i}" for i in range(7)]
-    batch = A.synth_pcm_batch(cids, [8000] * 7, [1600] * 7)
-    for cid, got in zip(cids, batch):
-        assert np.array_equal(got, A.synth_pcm(cid, 8000, 1600))
+    rng = np.random.default_rng(0)
+    srs = rng.choice([8000, 16000], size=40)
+    lens = (srs * rng.uniform(0.2, 2.0, size=40)).astype(int)
+    cids = [f"clip-{i:08x}" for i in range(40)]
+    batch = A.synth_pcm_batch(cids, srs, lens)
+    for cid, sr, n, got in zip(cids, srs, lens, batch):
+        assert np.array_equal(got, A.synth_pcm(cid, int(sr), int(n)))
