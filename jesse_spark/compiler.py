@@ -53,6 +53,17 @@ MAX_REF_DEPTH = 16  # bounded unrolling for recursive $refs (SURVEY §2.3 #30)
 _ANYOF_DETAIL_MAX = 24  # default anyOf branch-detail cap (compile option)
 
 
+def _num_bound(m):
+    """Schema numeric bound as a literal py4j can ship: ints beyond
+    int64 (bignum schemas, optional/bignum.json) travel as doubles —
+    numeric comparisons promote to double anyway, so precision is the
+    same on both sides."""
+    if isinstance(m, int) and not isinstance(m, bool) \
+            and not -(2 ** 63) <= m < 2 ** 63:
+        return float(m)
+    return m
+
+
 def _warn_anyof_detail_dropped(total: int, cap: int) -> None:
     import warnings
 
@@ -523,22 +534,22 @@ def compile_checks(
     # ---- numeric range ---------------------------------------------------
     if is_num:
         if "minimum" in schema:
-            m = schema["minimum"]
+            m = _num_bound(schema["minimum"])
             excl = ctx.draft <= DRAFT4 and schema.get("exclusiveMinimum") is True
             add(E.NOT_IN_RANGE,
                 lambda c, m=m, e=excl: _null_skip(c, (c > F.lit(m)) if e else (c >= F.lit(m))))
         if "maximum" in schema:
-            m = schema["maximum"]
+            m = _num_bound(schema["maximum"])
             excl = ctx.draft <= DRAFT4 and schema.get("exclusiveMaximum") is True
             add(E.NOT_IN_RANGE,
                 lambda c, m=m, e=excl: _null_skip(c, (c < F.lit(m)) if e else (c <= F.lit(m))))
         if ctx.draft >= DRAFT6:
             # numeric-valued exclusive bounds (jesse_validator_draft6.erl:178-209)
             if isinstance(schema.get("exclusiveMinimum"), (int, float)) and not isinstance(schema.get("exclusiveMinimum"), bool):
-                m = schema["exclusiveMinimum"]
+                m = _num_bound(schema["exclusiveMinimum"])
                 add(E.NOT_IN_RANGE, lambda c, m=m: _null_skip(c, c > F.lit(m)))
             if isinstance(schema.get("exclusiveMaximum"), (int, float)) and not isinstance(schema.get("exclusiveMaximum"), bool):
-                m = schema["exclusiveMaximum"]
+                m = _num_bound(schema["exclusiveMaximum"])
                 add(E.NOT_IN_RANGE, lambda c, m=m: _null_skip(c, c < F.lit(m)))
         kw = "divisibleBy" if ctx.draft == DRAFT3 else "multipleOf"
         if kw in schema:

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jesse_spark.compiler import (
+    _num_bound,
     _scoped,
     _warn_anyof_detail_dropped,
     _ANYOF_DETAIL_MAX,
@@ -92,14 +93,24 @@ def is_integer(v: Column, draft: int) -> Column:
     """draft4: written as an integer (no decimal point/exponent) —
     parse_json keeps that distinction (1.0 → DECIMAL(2,1));
     draft6 additionally accepts numbers with zero fraction
-    (jesse_validator_draft6.erl:341-359)."""
+    (jesse_validator_draft6.erl:341-359).
+
+    Bignums past DECIMAL(38,0) parse as DOUBLE, where the textual
+    int/float distinction is unrecoverable; every double at magnitude
+    ≥ 2^63 is mathematically integral and jesse (Erlang bignums,
+    optional/bignum.json) calls the integer-written form an integer, so
+    those count as draft4 integers too (documented deviation: a float
+    WRITTEN as 1e60 also passes — jesse would reject it)."""
     t = _vt(v)
-    strict = (t == "BIGINT") | t.rlike(_DECIMAL0)
+    num = as_num(v)
+    strict = ((t == "BIGINT") | t.rlike(_DECIMAL0)
+              | ((t == "DOUBLE") & (F.abs(num) >= F.lit(float(2 ** 63)))
+                 & (F.round(num) == num)))
     if draft < DRAFT6:
         return strict
     # round(x) == x, not floor (LONG overflow past 2^63) and not
     # pmod (tiny negatives collapse to 0.0)
-    return strict | (is_number(v) & (F.round(as_num(v)) == as_num(v)))
+    return strict | (is_number(v) & (F.round(num) == num))
 
 
 def is_array(v: Column) -> Column:
@@ -112,6 +123,8 @@ def is_object(v: Column) -> Column:
 
 def as_num(v: Column) -> Column:
     return F.try_variant_get(v, "$", "double")
+
+
 
 
 def as_str(v: Column) -> Column:
@@ -330,12 +343,12 @@ def compile_variant_checks(
 
     # ---- numeric ---------------------------------------------------------------
     if "minimum" in schema:
-        m = schema["minimum"]
+        m = _num_bound(schema["minimum"])
         excl = ctx.draft <= DRAFT4 and schema.get("exclusiveMinimum") is True
         add(E.NOT_IN_RANGE, lambda v, m=m, e=excl: _guard(
             is_number(v), (as_num(v) > m) if e else (as_num(v) >= m)))
     if "maximum" in schema:
-        m = schema["maximum"]
+        m = _num_bound(schema["maximum"])
         excl = ctx.draft <= DRAFT4 and schema.get("exclusiveMaximum") is True
         add(E.NOT_IN_RANGE, lambda v, m=m, e=excl: _guard(
             is_number(v), (as_num(v) < m) if e else (as_num(v) <= m)))
@@ -343,6 +356,7 @@ def compile_variant_checks(
         for kw, op in (("exclusiveMinimum", "gt"), ("exclusiveMaximum", "lt")):
             b = schema.get(kw)
             if isinstance(b, (int, float)) and not isinstance(b, bool):
+                b = _num_bound(b)
                 add(E.NOT_IN_RANGE, lambda v, b=b, op=op: _guard(
                     is_number(v),
                     (as_num(v) > b) if op == "gt" else (as_num(v) < b)))

@@ -83,6 +83,8 @@ def _files():
     for draft_dir in sorted(DRAFTS):
         for p in sorted((SUITE / draft_dir).glob("*.json")):
             out.append((draft_dir, p.stem))
+        for p in sorted((SUITE / draft_dir).glob("optional/*.json")):
+            out.append((draft_dir, f"optional/{p.stem}"))
     return out
 
 
