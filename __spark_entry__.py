@@ -361,6 +361,8 @@ def q_kvc_path(spark, sf_dir):
     from jesse_spark.functions.paths import kvc_path
 
     li = _t(spark, sf_dir, "lineitem")
+    # collect_list here is bounded by the data model (≤7 line items per
+    # order in TPC-H), unlike the dedup buckets which cap membership
     grouped = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(F.struct(
             F.col("l_linenumber").alias("ln"),
