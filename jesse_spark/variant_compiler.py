@@ -90,10 +90,13 @@ def is_number(v: Column) -> Column:
 
 
 def is_integer(v: Column, draft: int) -> Column:
-    """draft4: written as an integer (no decimal point/exponent) —
-    parse_json keeps that distinction (1.0 → DECIMAL(2,1));
-    draft6 additionally accepts numbers with zero fraction
-    (jesse_validator_draft6.erl:341-359).
+    """draft4: an integer value.  parse_json CANONICALIZES zero-fraction
+    decimals (``1.0`` → DECIMAL(1,0), same as ``1`` → BIGINT scale-0),
+    so the draft4 textual int/float distinction is unrecoverable and
+    variant-mode draft4 ``integer`` accepts 1.0 — the documented
+    deviation (ARCHITECTURE.md; test_variant_conformance OVERRIDES).
+    draft6 accepts zero-fraction numbers by spec
+    (jesse_validator_draft6.erl:341-359), so the drafts converge here.
 
     Bignums past DECIMAL(38,0) parse as DOUBLE, where the textual
     int/float distinction is unrecoverable; every double at magnitude
