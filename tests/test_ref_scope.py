@@ -43,6 +43,9 @@ BASE = "http://example.com/root.json"
     ("file:///tmp/d/x.json", "y.json", "file:///tmp/d/y.json"),
     ("file:///tmp/d/x.json", "../y.json", "file:///tmp/y.json"),
     ("http://a/x.json", None, "http://a/x.json"),           # undefined ref
+    # base with no path: dirname collapses to the bare scheme, like the
+    # reference's filename:dirname (combine_relative_id2 "http:" clause)
+    ("http://a", "y.json", "http://y.json"),
 ])
 def test_combine_id(base, ref, expected):
     assert combine_id(base, ref) == expected
