@@ -137,7 +137,21 @@ def synth_pcm(clip_id: str, sr_hz: int, n_samples: int) -> np.ndarray:
     """Reference waveform: sum of 1-3 sine tones, params keyed ONLY by
     clip_id (stream 1) so any consumer can re-derive it.  Deterministic:
     the rng parameter draws are always float64; only the waveform dtype
-    varies with clip length (see _F32_MAX_SECONDS)."""
+    varies with clip length (see _F32_MAX_SECONDS).
+
+    _verify_batch calls this in a plain per-clip loop ON PURPOSE.  Two
+    cross-clip vectorizations were built and benchmarked (r3): (a)
+    group by exact (sr, n_samples) and evaluate all tones as one
+    (tones x n) sin matrix + reduceat; (b) group by sr with a shared
+    max-length time base and slice per clip.  Both LOSE to the loop on
+    realistic length distributions (4000 clips, 0.2-2 s: loop 0.47 s,
+    (a) 1.33 s, (b) 2.7 s): at n ~ 10-50 k samples the per-clip numpy
+    ops are already SIMD-bound, the 2-D formulation quadruples memory
+    traffic (three (tones x max_n) temporaries that no longer fit L2),
+    and ``np.add.reduceat`` on float32 breaks the bit-exact
+    left-to-right accumulation the golden tests pin.  The win for the
+    audio stage came from batch-level G.711 decode (``_decode_batch``),
+    not synthesis batching."""
     freqs, phases, amps = _synth_params(clip_id, sr_hz)
     if n_samples <= _F32_MAX_SECONDS * sr_hz:
         t = np.arange(n_samples, dtype=np.float32) / np.float32(sr_hz)
@@ -162,27 +176,6 @@ def _synth_params(clip_id: str, sr_hz: int):
     amps = rng.uniform(0.2, 0.9, size=n_tones)
     amps = amps / amps.sum() * 0.8
     return freqs, phases, amps
-
-
-def synth_pcm_batch(clip_ids, sr_arr, len_arr) -> list:
-    """Batch entry point for reference synthesis — MEASURED to be a
-    thin per-clip loop on purpose.
-
-    Two cross-clip vectorizations were built and benchmarked (r3):
-    (a) group by exact (sr, n_samples) and evaluate all tones as one
-    (tones × n) sin matrix + reduceat; (b) group by sr with a shared
-    max-length time base (``arange(n)/sr`` is a prefix of
-    ``arange(max_n)/sr``) and slice per clip.  Both LOSE to the plain
-    loop on realistic length distributions (4000 clips, 0.2-2 s:
-    loop 0.47 s, (a) 1.33 s, (b) 2.7 s): at n ≈ 10-50 k samples the
-    per-clip numpy ops are already SIMD-bound, and the 2-D formulation
-    quadruples memory traffic (three (tones × max_n) temporaries that
-    no longer fit L2) while ``np.add.reduceat`` on float32 also breaks
-    the bit-exact left-to-right accumulation the golden tests pin.
-    Keep the loop; the win for the audio stage came from batch-level
-    G.711 decode (``_decode_batch``), not synthesis batching."""
-    return [synth_pcm(cid, int(sr), int(n))
-            for cid, sr, n in zip(clip_ids, sr_arr, len_arr)]
 
 
 def reference_transcript(clip_id: str) -> str:
@@ -259,19 +252,15 @@ def _verify_batch(clip_id: pd.Series, raw: pd.Series, codec: pd.Series,
     for i in range(n):
         t_ok[i] = (tr[i] is not None
                    and tr[i] == reference_transcript(cid[i]))
-    # batch synthesis: clips sharing (sr, n_samples) share one time base
-    # and one vectorized tone matrix (synth_pcm_batch)
-    todo = [i for i in range(n) if decoded[i] is not None]
-    try:
-        refs = synth_pcm_batch([cid[i] for i in todo],
-                               [int(sr[i]) for i in todo],
-                               [len(decoded[i]) for i in todo])
-    except Exception:
-        refs = None
-    for j, i in enumerate(todo):
+    # Reference synthesis is a plain per-clip loop (synth_pcm's
+    # docstring records the measurements: both cross-clip vectorizations
+    # lose to the loop on memory traffic, and reduceat breaks bit-exact
+    # accumulation).  A clip that fails to synthesize gets snr = -inf.
+    for i in range(n):
+        if decoded[i] is None:
+            continue
         try:
-            ref = refs[j] if refs is not None else synth_pcm(
-                cid[i], int(sr[i]), len(decoded[i]))
+            ref = synth_pcm(cid[i], int(sr[i]), len(decoded[i]))
             snrs[i] = snr_db(ref, decoded[i])
         except Exception:
             snrs[i] = -np.inf

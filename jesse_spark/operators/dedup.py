@@ -415,20 +415,6 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature against fixed random hyperplanes (generated
-    once on the driver with a fixed seed, inlined as literals —
-    effectively a broadcast of the projection matrix)."""
-    bits = [
-        F.when(_dot(vec, F.lit(p).cast("array<double>")) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for p in planes
-    ]
-    sig = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        sig = sig.bitwiseOR(F.shiftleft(b.cast("long"), i))
-    return sig
-
-
 def hyperplane_buckets(vec: Column, planes_flat: Column,
                        n_tables: int, n_planes: int, dim: int) -> Column:
     """All tables' sign-bit buckets at once: ``array<long>`` of length

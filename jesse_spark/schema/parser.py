@@ -287,7 +287,13 @@ class SchemaRegistry:
         """
         canonical = combine_id(scope, ref) or ""
         base, _, frag = canonical.partition("#")
-        is_local = (base == "") if scope is None else (base == scope)
+        # Locality: compare against the scope with its own fragment
+        # stripped — an $id like "http://h/s.json#anchor" still scopes
+        # purely-local "#/..." refs to the current root.  An empty ref
+        # always means "this document" (jesse_state.erl:206-214).
+        scope_base = (scope or "").partition("#")[0]
+        is_local = (ref == "") or \
+            ((base == "") if scope is None else (base == scope_base))
         if is_local:
             doc, new_root, new_scope = root, root, scope
         else:

@@ -266,7 +266,7 @@ def _elem_canonical(e: Column, depth: int = _CANON_DEPTH) -> Column:
 
 def _child(ctx: Ctx) -> Ctx:
     return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth,
-               ctx.extra_formats, ctx.scope)
+               ctx.extra_formats, ctx.scope, ctx.anyof_detail_max)
 
 
 def _guard(cond: Column, body: Column) -> Column:
@@ -317,7 +317,7 @@ def compile_variant_checks(
         new_draft = (ctx.draft if new_root is ctx.root
                      else detect_draft(new_root, default=ctx.draft))
         sub = Ctx(new_draft, ctx.registry, new_root, ctx.ref_depth + 1,
-                  ctx.extra_formats, new_scope)
+                  ctx.extra_formats, new_scope, ctx.anyof_detail_max)
         return compile_variant_checks(target, null_is_absent=null_is_absent,
                                       _ctx=sub, _path=_path)
 

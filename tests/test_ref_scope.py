@@ -133,3 +133,43 @@ def test_unresolvable_relative_ref_raises(spark):
     schema = {**D6, "$id": BASE, "$ref": "missing.json"}
     with pytest.raises(SchemaError):
         compile_checks(schema, T.LongType(), registry=reg)
+
+
+def test_local_ref_under_fragment_carrying_scope(spark):
+    """An ``$id`` that itself carries a fragment (e.g. ``...#anchor``)
+    still scopes purely-local ``#/...`` refs to the current root — the
+    locality test compares against the scope with its fragment stripped
+    (ADVICE r3: previously raised schema_not_found)."""
+    schema = {**D6, "$id": BASE + "#anchor",
+              "definitions": {"pos": {"type": "integer", "minimum": 1}},
+              "$ref": "#/definitions/pos"}
+    for compile_fn, mk in (
+            (lambda s: compile_checks(s, T.LongType(),
+                                      registry=SchemaRegistry()),
+             lambda v: (v,)),
+            (lambda s: compile_variant_checks(s, registry=SchemaRegistry()),
+             None)):
+        checks = compile_fn(schema)
+        assert checks  # compiled, not schema_not_found
+    checks = compile_checks(schema, T.LongType(), registry=SchemaRegistry())
+    df = spark.createDataFrame([(2,), (0,)], "value long")
+    rows = {r["value"]: r["ok"] for r in df.select(
+        "value",
+        F.coalesce(checks[0].pred(F.col("value")) &
+                   (checks[1].pred(F.col("value"))
+                    if len(checks) > 1 else F.lit(True)),
+                   F.lit(False)).alias("ok")).collect()}
+    assert rows[2] is True and rows[0] is False
+
+
+def test_empty_ref_resolves_to_current_root():
+    """``"$ref": ""`` means "this document" under any scope — it must
+    not be combined into dirname(scope) and loaded remotely (ADVICE r3:
+    previously loaded ``http://example.com/``)."""
+    reg = SchemaRegistry()
+    root = {**D6, "$id": BASE, "type": "integer"}
+    target, new_root, new_scope = reg.resolve_ref("", root, scope=BASE)
+    assert target is root and new_root is root and new_scope == BASE
+    # and with a fragment-carrying scope
+    target, new_root, _ = reg.resolve_ref("", root, scope=BASE + "#a")
+    assert target is root and new_root is root

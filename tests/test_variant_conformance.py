@@ -213,3 +213,22 @@ EXTRA_VARIANT = [
                          ids=[f"x{i}" for i in range(len(EXTRA_VARIANT))])
 def test_reference_extras_variant(spark, schema, data, expect_valid):
     run_variant_case(spark, schema, data, expect_valid)
+
+
+def test_nested_anyof_detail_cap_propagates(spark):
+    """anyof_detail_max reaches anyOf groups BELOW the schema root in
+    variant mode — _child() and the $ref sub-Ctx forward it (ADVICE r3:
+    the child ctx silently reverted to the default cap)."""
+    import warnings
+
+    nested = {"$schema": "http://json-schema.org/draft-04/schema#",
+              "properties": {"p": {"anyOf": [
+                  {"minimum": i, "maximum": i} for i in range(10)
+              ]}}}
+    # 20 branch checks: above a cap of 3, below the default of 24 — the
+    # warning only fires if the lowered cap actually propagated down.
+    with pytest.warns(UserWarning, match="anyOf branch detail dropped"):
+        compile_variant_checks(nested, anyof_detail_max=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        compile_variant_checks(nested, anyof_detail_max=100)
