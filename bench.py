@@ -73,17 +73,31 @@ def run_clip_suite(spark, path: str) -> dict:
 # on minute timescales, so a single-shot per-query number is mostly
 # host noise; report the MIN over N back-to-back runs (standard
 # latency-benchmark practice — the min is the least-contended estimate
-# of the plan's actual cost).  The flagship clips suite stays
-# single-shot (it has its own warm-up pass).
+# of the plan's actual cost).  Sub-2s queries get extra reps: at that
+# wall a single noise burst IS the measurement (VERDICT r3: five
+# sub-second queries "regressed" 2.3-3.8x with zero code change under
+# min-of-2), and extra reps of a cheap query cost almost nothing.
+# The flagship clips suite stays at base reps (it has its own warm-up
+# pass and is expensive enough to amortize noise).
 QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
+QUERY_REPS_FAST = int(os.environ.get("SPARK_GRAFT_QUERY_REPS_FAST", "5"))
+FAST_WALL_S = float(os.environ.get("SPARK_GRAFT_FAST_WALL_S", "2.0"))
 
 
-def _timed_min(fn, reps: int) -> float:
+def _timed_min(fn, reps: int, fast_reps: int | None = None) -> float:
+    """Min-of-reps wall time; if the best lands under FAST_WALL_S the
+    query is cheap enough that noise dominates, so keep sampling up to
+    ``fast_reps`` total."""
     best = float("inf")
-    for _ in range(max(reps, 1)):
+    done = 0
+    total = max(reps, 1)
+    while done < total:
         t0 = time.time()
         fn()
         best = min(best, time.time() - t0)
+        done += 1
+        if done == total and fast_reps and best < FAST_WALL_S:
+            total, fast_reps = max(fast_reps, total), None
     return round(best, 3)
 
 
@@ -101,13 +115,14 @@ def bench_queries(spark) -> dict[str, float]:
     for name, fn in entrymod.queries().items():
         if name in SKIP:
             continue
-        out[name] = _timed_min(lambda: _noop_run(fn(spark, SF_DIR)), QUERY_REPS)
+        out[name] = _timed_min(lambda: _noop_run(fn(spark, SF_DIR)),
+                               QUERY_REPS, QUERY_REPS_FAST)
     # heaviest query last, so an interrupt still yields a full line
     import __spark_entry__ as e
 
     out["minhash_near_dups"] = _timed_min(
         lambda: _noop_run(e.queries()["minhash_near_dups"](spark, SF_DIR)),
-        QUERY_REPS)
+        QUERY_REPS, QUERY_REPS_FAST)
     return out
 
 
@@ -135,6 +150,8 @@ def main_default() -> None:
         "violations": clip["violations"],
         "cpus": CPUS,
         "query_reps_min_of": QUERY_REPS,
+        "query_reps_min_of_fast": QUERY_REPS_FAST,
+        "fast_wall_s": FAST_WALL_S,
     }))
     spark.stop()
 

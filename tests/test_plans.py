@@ -1,0 +1,167 @@
+"""Golden-plan structural regression tests (VERDICT r3 #2).
+
+Per-query wall times on this shared-VM host swing 3-10x with zero code
+change, so timing cannot adjudicate plan regressions.  These tests pin
+the STRUCTURAL properties that make the headline plans scale — the
+broadcast that must stay a broadcast, the cartesian product that must
+not appear, the exchange (shuffle) count that must not grow, the
+filter/projection pushdown that must reach the parquet scan — so a
+scale-killer (uncapped bucket agg, dropped broadcast hint, new shuffle)
+fails deterministically in CI instead of surfacing as a noisy bench
+delta three rounds later.
+
+The exchange-count bounds are the plan shapes measured at r4; they are
+UPPER bounds — tightening a plan is fine, adding a shuffle trips the
+test and should be a conscious decision.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(spark, df, mode: str = "simple") -> str:
+    """Physical-plan string (the same rendering df.explain prints)."""
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as E
+
+    return E.queries()
+
+
+def _plan(spark, queries, name: str, mode: str = "simple") -> str:
+    return plan_str(spark, queries[name](spark, SF), mode)
+
+
+# ---------------------------------------------------------------------------
+# joins: broadcasts stay broadcasts, nothing goes cartesian
+# ---------------------------------------------------------------------------
+def test_ri_orphans_broadcasts_dim_side(spark, queries):
+    p = _plan(spark, queries, "ri_orphans")
+    assert "BroadcastHashJoin" in p, "RI anti-join lost its broadcast"
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 2
+
+
+def test_ri_semi_count_broadcasts_dim_side(spark, queries):
+    p = _plan(spark, queries, "ri_semi_count")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 3
+
+
+def test_embedding_near_dups_single_broadcast_tensor(spark, queries):
+    # exactly ONE BroadcastNestedLoopJoin: the 1-row plane-tensor
+    # broadcast (dedup.py hyperplane_buckets) — any other nested-loop
+    # or cartesian join means an all-pairs explosion at scale
+    p = _plan(spark, queries, "embedding_near_dups")
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in p
+    assert "Window" in p, "capped bucket pre-agg (row_number) missing"
+    assert p.count("Exchange") <= 8
+
+
+def test_minhash_near_dups_no_cartesian_capped_buckets(spark, queries):
+    p = _plan(spark, queries, "minhash_near_dups")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p, "capped bucket pre-agg (row_number) missing"
+    assert p.count("Exchange") <= 7
+
+
+def test_simhash_near_dups_no_cartesian_capped_buckets(spark, queries):
+    p = _plan(spark, queries, "simhash_near_dups")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p, "capped bucket pre-agg (row_number) missing"
+    assert p.count("Exchange") <= 3
+
+
+# ---------------------------------------------------------------------------
+# top-k: TakeOrdered, never a global sort
+# ---------------------------------------------------------------------------
+def test_embed_topk_is_take_ordered_no_shuffle(spark, queries):
+    p = _plan(spark, queries, "embed_topk")
+    assert "TakeOrdered" in p
+    assert p.count("Exchange") == 0, "brute-force top-k must not shuffle"
+
+
+def test_ivf_topk_is_take_ordered(spark, queries):
+    p = _plan(spark, queries, "ivf_topk")
+    assert "TakeOrdered" in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 2
+
+
+# ---------------------------------------------------------------------------
+# aggregations: single-pass, partial (map-side) combine
+# ---------------------------------------------------------------------------
+def test_stats_single_pass_is_one_shuffle(spark, queries):
+    p = _plan(spark, queries, "stats_single_pass")
+    assert p.count("Exchange") == 1, "column stats must stay single-pass"
+
+
+def test_dedup_exact_partial_agg_one_shuffle(spark, queries):
+    p = _plan(spark, queries, "dedup_exact")
+    assert p.count("Exchange") <= 1
+    assert p.count("HashAggregate") >= 2, "map-side partial agg dropped"
+
+
+def test_dedup_keep_first_single_window_shuffle(spark, queries):
+    p = _plan(spark, queries, "dedup_keep_first")
+    assert p.count("Exchange") <= 1
+    assert "Window" in p
+
+
+def test_salted_uniqueness_two_level(spark, queries):
+    # salt level + merge level: exactly two shuffles, both partial-agg'd
+    p = _plan(spark, queries, "uniqueness_dup_keys_salted")
+    assert p.count("Exchange") <= 2
+    assert p.count("HashAggregate") >= 4
+
+
+# ---------------------------------------------------------------------------
+# scans: pushdown and pruning reach the parquet reader
+# ---------------------------------------------------------------------------
+def test_range_filter_pushed_to_scan(spark, queries):
+    p = _plan(spark, queries, "range_filter", "formatted")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThanOrEqual(l_quantity" in pushed[0], \
+        "range predicate no longer reaches the parquet scan"
+
+
+def test_token_counts_prunes_columns(spark, queries):
+    p = _plan(spark, queries, "token_counts", "formatted")
+    schemas = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert schemas, "no parquet scan found"
+    # only the id + text columns may be read from documents
+    assert "struct<doc_id:bigint,text:string>" in schemas[0], schemas[0]
+
+
+# ---------------------------------------------------------------------------
+# clips pipeline: the flagship job's join/shuffle discipline
+# ---------------------------------------------------------------------------
+def test_clips_pipeline_plan_shape(spark):
+    from jesse_spark.plans.pipeline import run_full_suite
+    from jesse_spark.sources.fixtures import clips_df, codecs_df
+
+    res = run_full_suite(clips_df(spark, 50, partitions=2),
+                         codecs_df(spark))
+    try:
+        for df in (res.validated, res.violations, res.verdicts):
+            p = plan_str(spark, df)
+            assert "CartesianProduct" not in p
+            assert "SortMergeJoin" not in p, \
+                "codec dim join must stay broadcast"
+        assert plan_str(spark, res.violations).count("Exchange") <= 3
+        assert plan_str(spark, res.verdicts).count("Exchange") <= 1
+    finally:
+        res.validated.unpersist()
