@@ -401,6 +401,22 @@ def q_quality_scores(spark, sf_dir):
         .cast("bigint").alias("quality_x1e4"))
 
 
+def q_streaks(spark, sf_dir):
+    """Batch analog of the stateful streaming streak operator
+    (streaming/stateful.py violation_streaks): per-user sticky
+    quarantine verdicts over ts-ordered events, valid = "not an error
+    event".  Gaps-and-islands windows + aggregations — the same
+    verdicts the applyInPandasWithState op emits after draining the
+    table as a stream."""
+    from jesse_spark.streaming.stateful import violation_streaks_batch
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "valid", ~F.col("event_type").eqNullSafe(F.lit("error")))
+    return violation_streaks_batch(
+        ev, key_col="user_id", ts_col="ts", valid_col="valid",
+        tiebreak_cols=("event_id",), quarantine_after=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -436,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kvc_path": q_kvc_path,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "streaks": q_streaks,
     }
 
 
@@ -611,6 +628,40 @@ SELECT doc_id,
 FROM r
 """
 
+# gaps-and-islands streak verdicts (see q_streaks): cum_valid is
+# constant across a run of consecutive invalid rows, so grouping
+# invalid rows by (user, cum_valid) isolates each run; the trailing
+# streak is the run whose cum_valid equals the user's total valid
+# count, and quarantined = any run >= 3 (sticky).
+_STREAKS_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         (event_type IS DISTINCT FROM 'error') AS valid,
+         CAST(SUM(CASE WHEN event_type IS DISTINCT FROM 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_valid,
+         COUNT(*) OVER (PARTITION BY user_id) AS rows_total,
+         CAST(SUM(CASE WHEN event_type IS DISTINCT FROM 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id) AS BIGINT) AS n_valid
+  FROM events
+), islands AS (
+  SELECT user_id,
+         CASE WHEN NOT valid THEN cum_valid END AS island,
+         COUNT(*) AS run_len,
+         MIN(rows_total) AS rows_total,
+         MIN(n_valid) AS n_valid
+  FROM base
+  GROUP BY user_id, CASE WHEN NOT valid THEN cum_valid END
+)
+SELECT user_id AS key,
+       MIN(rows_total) AS rows,
+       MIN(rows_total) - MIN(n_valid) AS invalid_rows,
+       COALESCE(MAX(CASE WHEN island = n_valid THEN run_len END), 0) AS streak,
+       COALESCE(MAX(CASE WHEN island IS NOT NULL THEN run_len END), 0) >= 3
+         AS quarantined
+FROM islands GROUP BY user_id
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     docs_viol = """
@@ -754,4 +805,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_orderkey"),
         "lang_id": _LANG_ID_SQL,
         "quality_scores": _QUALITY_SQL,
+        "streaks": _STREAKS_SQL,
     }

@@ -499,3 +499,45 @@ def test_stateful_violation_streaks(spark, tmp_path):
     # key B (odd ids): invalid at 1,5,9,13,17 (alternating) → max streak 1
     assert rows["B"]["rows"] == 10 and rows["B"]["invalid_rows"] == 5
     assert rows["B"]["quarantined"] is False
+
+
+def test_violation_streaks_batch_matches_streaming_semantics(spark):
+    """The batch analog (gaps-and-islands windows, no Python) computes
+    the SAME per-key verdicts as the applyInPandasWithState operator:
+    same row/invalid counts, trailing streak, sticky quarantine."""
+    from pyspark.sql import functions as F
+
+    from jesse_spark.streaming import violation_streaks_batch
+
+    # key A: invalid at ids 4,6,8 (3 consecutive in A's own order)
+    # then recovers; key B alternates — never reaches 3; key C: ends
+    # on a 2-run (trailing streak 2, not quarantined); key D: all
+    # invalid (streak = rows, quarantined)
+    df = spark.range(20).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("key_c"),
+        (~(((F.col("id") % 2 == 0) & F.col("id").isin(4, 6, 8))
+           | ((F.col("id") % 2 == 1) & (F.col("id") % 4 == 1)))).alias("ok"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+    ).union(spark.createDataFrame(
+        [(100, "C", True, "2024-01-01 01:00:00"),
+         (101, "C", False, "2024-01-01 01:00:01"),
+         (102, "C", False, "2024-01-01 01:00:02"),
+         (103, "D", False, "2024-01-01 01:00:00"),
+         (104, "D", False, "2024-01-01 01:00:01"),
+         (105, "D", False, "2024-01-01 01:00:02")],
+        "id long, key_c string, ok boolean, ts string")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = {r["key"]: r for r in violation_streaks_batch(
+        df, key_col="key_c", ts_col="ts", valid_col="ok",
+        tiebreak_cols=("id",), quarantine_after=3).collect()}
+    a, b, c, d = out["A"], out["B"], out["C"], out["D"]
+    assert (a["rows"], a["invalid_rows"], a["streak"], a["quarantined"]) \
+        == (10, 3, 0, True)       # run of 3 mid-stream, recovered
+    assert (b["rows"], b["invalid_rows"], b["streak"], b["quarantined"]) \
+        == (10, 5, 0, False)      # alternating, ends valid
+    assert (c["rows"], c["invalid_rows"], c["streak"], c["quarantined"]) \
+        == (3, 2, 2, False)       # trailing 2-run, below threshold
+    assert (d["rows"], d["invalid_rows"], d["streak"], d["quarantined"]) \
+        == (3, 3, 3, True)        # all invalid: streak = rows
