@@ -49,7 +49,8 @@ from jesse_spark.schema.parser import (
     normalize_schema,
 )
 
-MAX_REF_DEPTH = 16  # bounded unrolling for recursive $refs (SURVEY §2.3 #30)
+MAX_REF_DEPTH = 16  # acyclic $ref chain bound (SURVEY §2.3 #30)
+_REF_UNROLL_MAX = 8  # default recursive-$ref unroll depth (compile option)
 _ANYOF_DETAIL_MAX = 24  # default anyOf branch-detail cap (compile option)
 
 
@@ -62,6 +63,17 @@ def _num_bound(m):
             and not -(2 ** 63) <= m < 2 ** 63:
         return float(m)
     return m
+
+
+def _warn_ref_unroll(depth: int) -> None:
+    import warnings
+
+    warnings.warn(
+        f"recursive $ref unrolled to depth {depth}; instances nested "
+        "deeper than the unroll fail CLOSED with violation code "
+        "'ref_unroll_exceeded'.  Pass ref_unroll_max to "
+        "compile_checks/validate to raise the unroll depth.",
+        stacklevel=3)
 
 
 def _warn_anyof_detail_dropped(total: int, cap: int) -> None:
@@ -180,11 +192,20 @@ class Ctx:
     scope: str | None = None
     # anyOf branch-detail budget (compile option; None → module default)
     anyof_detail_max: int | None = None
+    # ids of $ref targets on the current descent stack (cycle detection)
+    ref_seen: tuple = ()
+    # recursive-$ref unroll budget (compile option; None → module default)
+    ref_unroll_max: int | None = None
 
     @property
     def detail_max(self) -> int:
         return _ANYOF_DETAIL_MAX if self.anyof_detail_max is None \
             else self.anyof_detail_max
+
+    @property
+    def unroll_max(self) -> int:
+        return _REF_UNROLL_MAX if self.ref_unroll_max is None \
+            else self.ref_unroll_max
 
 
 def _null_skip(col: Column, body: Column) -> Column:
@@ -460,6 +481,7 @@ def compile_checks(
     draft: int | None = None,
     null_is_absent: bool = False,
     anyof_detail_max: int | None = None,
+    ref_unroll_max: int | None = None,
     _ctx: Ctx | None = None,
     _path: str = "",
 ) -> list[Check]:
@@ -470,7 +492,8 @@ def compile_checks(
     if _ctx is None:
         _ctx = Ctx(draft=detect_draft(schema) if draft is None else draft,
                    registry=registry, root=schema,
-                   anyof_detail_max=anyof_detail_max)
+                   anyof_detail_max=anyof_detail_max,
+                   ref_unroll_max=ref_unroll_max)
     ctx = _ctx
     schema = normalize_schema(schema, ctx.draft)
     ctx = _scoped(ctx, schema)
@@ -485,21 +508,37 @@ def compile_checks(
 
     # ---- $ref (compile-time inlining; jesse_state.erl:206-259) ----------
     if "$ref" in schema:
-        if ctx.ref_depth >= MAX_REF_DEPTH:
-            raise SchemaError("schema_unsupported",
-                              f"$ref recursion deeper than {MAX_REF_DEPTH}")
         if (ctx.registry is None and ctx.scope is None
                 and not str(schema["$ref"]).startswith("#")):
             raise SchemaError(E.SCHEMA_NOT_FOUND, schema["$ref"])
         reg = ctx.registry or SchemaRegistry()
         target, new_root, new_scope = reg.resolve_ref(
             schema["$ref"], ctx.root, scope=ctx.scope)
+        # Recursive refs (jesse resolves lazily, jesse_state.erl:206-259;
+        # plan inlining can't) are UNROLLED: each revisit of the same
+        # target node spends one unit of the unroll budget; at the
+        # budget a single fail-closed check replaces the subtree, so an
+        # instance nested deeper than the unroll is flagged (code
+        # ref_unroll_exceeded) rather than silently accepted.  The pred
+        # sits under the ancestors' presence guards, so only instances
+        # that actually REACH the cutoff depth fire it.
+        tid = id(target)
+        if ctx.ref_seen.count(tid) >= ctx.unroll_max:
+            _warn_ref_unroll(ctx.unroll_max)
+            return [Check(E.REF_UNROLL_EXCEEDED, _path,
+                          lambda v: F.lit(False), _as_str)]
+        if len(set(ctx.ref_seen)) >= MAX_REF_DEPTH:
+            raise SchemaError("schema_unsupported",
+                              f"$ref chain deeper than {MAX_REF_DEPTH}")
         # a remote document re-dispatches its own $schema dialect
         # (jesse_state.erl:233-241; CHANGELOG.md:61-63)
         new_draft = (ctx.draft if new_root is ctx.root
                      else detect_draft(new_root, default=ctx.draft))
-        sub = Ctx(new_draft, ctx.registry, new_root, ctx.ref_depth + 1,
-                  ctx.extra_formats, new_scope, ctx.anyof_detail_max)
+        from dataclasses import replace
+
+        sub = replace(ctx, draft=new_draft, root=new_root,
+                      ref_depth=ctx.ref_depth + 1, scope=new_scope,
+                      ref_seen=ctx.ref_seen + (tid,))
         return [c.prefixed("", lambda p: p) for c in compile_checks(
             target, dtype, null_is_absent=null_is_absent, _ctx=sub, _path=_path)]
 
@@ -1037,8 +1076,9 @@ def _reduce_or(cols: list[Column]) -> Column:
 
 
 def _child(ctx: Ctx) -> Ctx:
-    return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth,
-               ctx.extra_formats, ctx.scope, ctx.anyof_detail_max)
+    from dataclasses import replace
+
+    return replace(ctx)
 
 
 def _scoped(ctx: Ctx, schema: Any) -> Ctx:
@@ -1053,11 +1093,11 @@ def _scoped(ctx: Ctx, schema: Any) -> Ctx:
     # itself skip-lists those suite cases (jesse_tests_draft4_SUITE.erl:49-55)
     if not isinstance(sid, str) or sid == "" or sid.startswith("#"):
         return ctx
+    from dataclasses import replace
+
     from jesse_spark.schema.parser import combine_id
 
-    return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth,
-               ctx.extra_formats, combine_id(ctx.scope, sid),
-               ctx.anyof_detail_max)
+    return replace(ctx, scope=combine_id(ctx.scope, sid))
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,10 @@ class ErrorCodes:
     # engine-level (table checks; no jesse analog — north_star additions)
     SCHEMA_NOT_FOUND = "schema_not_found"  # RI violation code (FIXTURES.md §1.2)
     DRIFT = "distribution_drift"
+    # fail-closed verdict for instances nested deeper than the
+    # recursive-$ref unroll budget (jesse resolves refs lazily and has
+    # no analog; plan inlining must bound the expansion)
+    REF_UNROLL_EXCEEDED = "ref_unroll_exceeded"
 
 
 class SchemaError(Exception):

@@ -129,15 +129,19 @@ def validate(
     registry: SchemaRegistry | None = None,
     draft: int | None = None,
     anyof_detail_max: int | None = None,
+    ref_unroll_max: int | None = None,
 ) -> ValidationResult:
     """Compile ``schema`` against ``df``'s static schema and build the
     full lazy validation plan (nothing executes until an action).
 
     ``anyof_detail_max`` raises/lowers the anyOf branch-detail budget
-    (a compile-time warning fires when detail is dropped)."""
+    (a compile-time warning fires when detail is dropped);
+    ``ref_unroll_max`` bounds recursive-$ref unrolling (instances
+    nested deeper fail closed with code ref_unroll_exceeded)."""
     checks = compile_checks(schema, df.schema, registry=registry, draft=draft,
                             null_is_absent=True,
-                            anyof_detail_max=anyof_detail_max)
+                            anyof_detail_max=anyof_detail_max,
+                            ref_unroll_max=ref_unroll_max)
     validated = with_violations(df, checks)
     return ValidationResult(
         validated=validated,

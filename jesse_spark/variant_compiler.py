@@ -40,6 +40,7 @@ from jesse_spark.compiler import (
     _num_bound,
     _scoped,
     _warn_anyof_detail_dropped,
+    _warn_ref_unroll,
     _ANYOF_DETAIL_MAX,
     Builder,
     Check,
@@ -265,8 +266,9 @@ def _elem_canonical(e: Column, depth: int = _CANON_DEPTH) -> Column:
 
 
 def _child(ctx: Ctx) -> Ctx:
-    return Ctx(ctx.draft, ctx.registry, ctx.root, ctx.ref_depth,
-               ctx.extra_formats, ctx.scope, ctx.anyof_detail_max)
+    from dataclasses import replace
+
+    return replace(ctx)
 
 
 def _guard(cond: Column, body: Column) -> Column:
@@ -284,13 +286,15 @@ def compile_variant_checks(
     draft: int | None = None,
     null_is_absent: bool = False,
     anyof_detail_max: int | None = None,
+    ref_unroll_max: int | None = None,
     _ctx: Ctx | None = None,
     _path: str = "",
 ) -> list[Check]:
     if _ctx is None:
         _ctx = Ctx(draft=detect_draft(schema) if draft is None else draft,
                    registry=registry, root=schema,
-                   anyof_detail_max=anyof_detail_max)
+                   anyof_detail_max=anyof_detail_max,
+                   ref_unroll_max=ref_unroll_max)
     ctx = _ctx
     schema = normalize_schema(schema, ctx.draft)
     ctx = _scoped(ctx, schema)
@@ -308,16 +312,26 @@ def compile_variant_checks(
 
     # ---- $ref -----------------------------------------------------------
     if "$ref" in schema:
-        if ctx.ref_depth >= MAX_REF_DEPTH:
-            raise SchemaError("schema_unsupported",
-                              f"$ref recursion deeper than {MAX_REF_DEPTH}")
         reg = ctx.registry or SchemaRegistry()
         target, new_root, new_scope = reg.resolve_ref(
             schema["$ref"], ctx.root, scope=ctx.scope)
+        # recursive refs: bounded unroll with a fail-closed check at the
+        # budget — same policy and rationale as compiler.py's $ref branch
+        tid = id(target)
+        if ctx.ref_seen.count(tid) >= ctx.unroll_max:
+            _warn_ref_unroll(ctx.unroll_max)
+            return [Check(E.REF_UNROLL_EXCEEDED, _path,
+                          lambda v: F.lit(False), lambda v: F.to_json(v))]
+        if len(set(ctx.ref_seen)) >= MAX_REF_DEPTH:
+            raise SchemaError("schema_unsupported",
+                              f"$ref chain deeper than {MAX_REF_DEPTH}")
         new_draft = (ctx.draft if new_root is ctx.root
                      else detect_draft(new_root, default=ctx.draft))
-        sub = Ctx(new_draft, ctx.registry, new_root, ctx.ref_depth + 1,
-                  ctx.extra_formats, new_scope, ctx.anyof_detail_max)
+        from dataclasses import replace
+
+        sub = replace(ctx, draft=new_draft, root=new_root,
+                      ref_depth=ctx.ref_depth + 1, scope=new_scope,
+                      ref_seen=ctx.ref_seen + (tid,))
         return compile_variant_checks(target, null_is_absent=null_is_absent,
                                       _ctx=sub, _path=_path)
 

@@ -49,13 +49,9 @@ SKIPS = {
         "jesse skip list (draft6 SUITE :58-59)",
     # jesse skips these for draft6 but passes them in draft4; our scope
     # combination handles BOTH drafts, so only the recursion cases skip.
-    # --- engine limitations (documented) ---
-    ("draft4", "ref", "root pointer ref"):
-        "'$ref': '#' is unbounded schema recursion; compile-time plan "
-        "inlining rejects it at MAX_REF_DEPTH (ARCHITECTURE.md)",
-    ("draft6", "ref", "root pointer ref"): "unbounded recursion (see draft4)",
-    ("draft4", "refRemote", "root ref in remote ref"):
-        "name.json#/definitions/orNull refs '#' (unbounded recursion)",
+    # (the former engine-limitation skips — root pointer ref, draft4
+    # root ref in remote ref — are now handled by the bounded
+    # recursive-$ref unroll, compiler.py $ref branch)
 }
 
 

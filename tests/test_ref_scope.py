@@ -173,3 +173,109 @@ def test_empty_ref_resolves_to_current_root():
     # and with a fragment-carrying scope
     target, new_root, _ = reg.resolve_ref("", root, scope=BASE + "#a")
     assert target is root and new_root is root
+
+
+# ---------------------------------------------------------------------------
+# bounded recursive-$ref unroll (VERDICT r3 #3)
+# ---------------------------------------------------------------------------
+def _nested(depth: int):
+    """Linked-list instance {"v": 1, "next": {...}} of given depth."""
+    node: dict = {"v": 1}
+    for _ in range(depth - 1):
+        node = {"v": 1, "next": node}
+    return node
+
+
+RECURSIVE_SCHEMA = {
+    "properties": {"v": {"type": "integer"},
+                   "next": {"$ref": "#"}},
+}
+
+
+def test_recursive_ref_unrolls_and_fails_closed_variant(spark):
+    """Instances within the unroll validate normally; instances nested
+    DEEPER than the budget fail closed with ref_unroll_exceeded (the
+    documented policy — never silently accepted).  A compile warning
+    fires, like the anyOf detail cap."""
+    from jesse_spark.errors import ErrorCodes as E
+
+    with pytest.warns(UserWarning, match="recursive \\$ref unrolled"):
+        checks = compile_variant_checks(RECURSIVE_SCHEMA, draft=4,
+                                        ref_unroll_max=2)
+    cases = [(json.dumps(_nested(d)),) for d in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(cases, "j string")
+    rows = df.select(
+        F.col("j"),
+        F.array_compact(F.array(*[
+            F.when(~F.coalesce(c.pred(F.parse_json(F.col("j"))),
+                               F.lit(False)),
+                   F.lit(c.constraint)) for c in checks
+        ])).alias("codes")).collect()
+    by_depth = {len(r["j"].split("next")): list(r["codes"]) for r in rows}
+    # budget 2 = two revisits of the root node, so instances up to
+    # depth 3 validate normally; depth >= 4 reaches the cutoff's
+    # fail-closed check.  Nested sub-schema failures surface as the
+    # parent property's not_schema_valid (the variant compiler's
+    # nesting collapse), never as silent acceptance.
+    assert by_depth[1] == [] and by_depth[2] == [] and by_depth[3] == []
+    assert by_depth[4] == [E.NOT_SCHEMA_VALID]
+    assert by_depth[5] == [E.NOT_SCHEMA_VALID]
+    # a root-level $ref cycle exposes the fail-closed code directly
+    with pytest.warns(UserWarning, match="recursive \\$ref unrolled"):
+        root_checks = compile_variant_checks({"$ref": "#"}, draft=4,
+                                             ref_unroll_max=0)
+    assert [c.constraint for c in root_checks] == [E.REF_UNROLL_EXCEEDED]
+
+
+def test_recursive_ref_typed_terminates_with_dtype(spark):
+    """The typed compiler's unroll terminates when the dtype runs out —
+    a finite struct nesting never hits the budget, so no warning and
+    correct per-level checks."""
+    import warnings
+
+    dt = T.StructType([
+        T.StructField("v", T.LongType()),
+        T.StructField("next", T.StructType([
+            T.StructField("v", T.StringType()),  # wrong type at depth 2
+        ])),
+    ])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        checks = compile_checks(RECURSIVE_SCHEMA, dt, draft=4)
+    df = spark.createDataFrame(
+        [((1, ("x",)),)], T.StructType([T.StructField("value", dt)]))
+    row = df.select(F.array_compact(F.array(*[
+        F.when(~F.coalesce(c.pred(F.col("value")), F.lit(False)),
+               F.lit(c.constraint + "@" + c.path)) for c in checks
+    ])).alias("codes")).head()
+    assert list(row["codes"]) == ["wrong_type@/next/v"]
+
+
+def test_mutually_recursive_refs_unroll(spark):
+    """A 2-cycle (a -> b -> a) spends one budget unit per revisit of
+    each node — the unroll handles multi-schema cycles, not just
+    self-reference."""
+    schema = {
+        "definitions": {
+            "a": {"properties": {"b": {"$ref": "#/definitions/b"}},
+                  "required": ["tag_a"]},
+            "b": {"properties": {"a": {"$ref": "#/definitions/a"}},
+                  "required": ["tag_b"]},
+        },
+        "$ref": "#/definitions/a",
+    }
+    with pytest.warns(UserWarning, match="recursive \\$ref unrolled"):
+        checks = compile_variant_checks(schema, draft=4, ref_unroll_max=2)
+    ok = {"tag_a": 1, "b": {"tag_b": 1, "a": {"tag_a": 1}}}
+    bad = {"tag_a": 1, "b": {"a": {"tag_a": 1}}}  # missing tag_b
+    df = spark.createDataFrame([(json.dumps(ok),), (json.dumps(bad),)],
+                               "j string")
+    rows = df.select("j", F.array_compact(F.array(*[
+        F.when(~F.coalesce(c.pred(F.parse_json(F.col("j"))), F.lit(False)),
+               F.lit(c.constraint)) for c in checks
+    ])).alias("codes")).collect()
+    got = {r["j"]: list(r["codes"]) for r in rows}
+    assert got[json.dumps(ok)] == []
+    # the missing tag_b is nested under /b, so it surfaces as the
+    # parent property's not_schema_valid (variant nesting collapse)
+    assert "not_schema_valid" in got[json.dumps(bad)]
