@@ -294,13 +294,84 @@ class SchemaRegistry:
         scope_base = (scope or "").partition("#")[0]
         is_local = (ref == "") or \
             ((base == "") if scope is None else (base == scope_base))
+        # A non-pointer fragment is a location-independent identifier
+        # (an embedded "$id": "#anchor" / "id": "#anchor").  jesse
+        # skip-lists these suite groups outright
+        # (jesse_tests_draft4_SUITE.erl:50-55); we resolve them by
+        # scanning the current root and every stored document for the
+        # matching embedded id.
+        if frag and not frag.startswith("/"):
+            hit = self._embedded_lookup(canonical, root, scope)
+            if hit is not None:
+                return hit
+            raise SchemaError("schema_not_found", ref)
         if is_local:
             doc, new_root, new_scope = root, root, scope
         else:
-            doc = self.load(base)
+            try:
+                doc = self.load(base)
+            except SchemaError:
+                # the base may be an embedded subschema document (an
+                # "$id" that changes the base URI inside another doc)
+                hit = self._embedded_lookup(canonical, root, scope)
+                if hit is not None:
+                    return hit
+                raise
             new_root, new_scope = doc, base
         target = resolve_pointer(doc, "#" + frag) if frag else doc
         return target, new_root, new_scope
+
+    def _embedded_lookup(self, canonical: str, root: Any,
+                         scope: str | None):
+        """Find a subschema whose embedded ``$id``/``id`` canonicalizes
+        to ``canonical`` — first in the current root document, then in
+        every stored document.  Returns ``(target, new_root, new_scope)``
+        or None.  The new scope is the embedded id's base (fragment
+        stripped) so refs inside the target resolve against it."""
+        base = canonical.partition("#")[0]
+        docs = [(root, (scope or "").partition("#")[0] or None)]
+        docs += [(d, k) for k, d in self._by_id.items() if d is not root]
+        for doc, doc_scope in docs:
+            for uri, node, enclosing in iter_embedded_ids(doc, doc_scope):
+                if uri == canonical or (canonical == base and uri == base):
+                    return node, doc, (base or enclosing or doc_scope)
+        return None
+
+
+def iter_embedded_ids(doc: Any, base: str | None):
+    """Yield ``(canonical_uri, subschema, enclosing_scope)`` for every
+    embedded ``$id``/``id`` in ``doc``, each combined against its
+    enclosing scope (RFC: an id establishes a new base URI for its
+    subtree).  Ids inside ``enum``/``const`` are DATA, not identifiers
+    (the draft6 id.json suite group), and are not yielded.
+
+    jesse has no analog — it skip-lists every location-independent-
+    identifier suite group (jesse_tests_draft4_SUITE.erl:50-55); this
+    engine resolves them.
+    """
+    def walk(node: Any, scope: str | None):
+        if isinstance(node, dict):
+            new_scope = scope
+            for tag in ("$id", "id"):
+                sid = node.get(tag)
+                if isinstance(sid, str) and sid:
+                    if sid.startswith("#"):
+                        canonical = ((scope or "").partition("#")[0]) + sid
+                        yield canonical, node, scope
+                    else:
+                        canonical = combine_id(scope, sid) or sid
+                        yield canonical, node, scope
+                        new_scope = canonical
+                    break
+            for k, v in node.items():
+                if k in ("enum", "const"):
+                    continue
+                yield from walk(v, new_scope)
+        elif isinstance(node, list):
+            for v in node:
+                yield from walk(v, scope)
+
+    yield from walk(doc, base)
 
 
 def hoist_ref(schema: dict) -> dict:

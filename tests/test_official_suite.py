@@ -55,6 +55,21 @@ SKIPS = {
 }
 
 
+# per-group compile options.  The meta-schemas are pathologically
+# recursive (~10 '$ref': '#' sites per level - a default unroll of 8
+# would expand ~10^8 nodes), and their suite instances carry no nested
+# subschemas, so one level of unroll is exact for them.
+# anyof_detail_max=0 additionally drops per-branch detail checks,
+# which would otherwise DUPLICATE each anyOf subtree (measured: 173 s
+# -> 29 s for the draft4 meta-schema; the group verdicts are identical).
+GROUP_OPTS = {
+    ("draft4", "ref", "remote ref, containing refs itself"):
+        {"ref_unroll_max": 1, "anyof_detail_max": 0},
+    ("draft6", "ref", "remote ref, containing refs itself"):
+        {"ref_unroll_max": 1, "anyof_detail_max": 0},
+}
+
+
 def _remote_registry() -> SchemaRegistry:
     """Registry preloaded with the suite's remotes/ documents under the
     same localhost URIs the official harness serves them from
@@ -71,6 +86,11 @@ def _remote_registry() -> SchemaRegistry:
     folder_int = json.loads((remotes / "folder/folderInteger.json").read_text())
     reg._by_id[f"{REMOTE_BASE}/baseUriChange/folderInteger.json"] = folder_int
     reg._by_id[f"{REMOTE_BASE}/baseUriChangeFolder/folderInteger.json"] = folder_int
+    # the official meta-schemas, for "remote ref, containing refs itself"
+    # (vendored verbatim from the public spec documents)
+    for stem, uri in (("draft04-schema", "http://json-schema.org/draft-04/schema"),
+                      ("draft06-schema", "http://json-schema.org/draft-06/schema")):
+        reg._by_id[uri] = json.loads((remotes / f"{stem}.json").read_text())
     return reg
 
 
@@ -101,7 +121,9 @@ def test_suite_file(spark, draft_dir, stem):
         if reason is not None:
             skipped += len(g["tests"])
             continue
-        checks = compile_variant_checks(g["schema"], registry=reg, draft=draft)
+        opts = GROUP_OPTS.get((draft_dir, stem, g["description"]), {})
+        checks = compile_variant_checks(g["schema"], registry=reg,
+                                        draft=draft, **opts)
         if checks:
             preds.append((gi, [c.pred for c in checks]))
         else:
