@@ -76,6 +76,85 @@ def _warn_ref_unroll(depth: int) -> None:
         stacklevel=3)
 
 
+# Constructs whose support or semantics differ across the regex
+# dialects in play: Erlang/PCRE (the reference compiles patterns with
+# re, README.md:283-302 documents the caveat), java.util.regex (Spark's
+# rlike executes the pattern on the cluster), and Python re (compile-
+# time validation here).  A pattern using one of these can compile
+# everywhere yet silently change meaning, or fail only at runtime on
+# the executors — the lint surfaces that at plan-compile time.
+_REGEX_TRAPS: list[tuple[str, str]] = [
+    (r"\(\?P[<=]",
+     "(?P<name>)/(?P=name) syntax is PCRE/Python-only; java.util.regex "
+     "rejects it at runtime"),
+    (r"(?<!\\)\\Z",
+     r"\Z means absolute end in PCRE/Python but before-final-newline "
+     r"in Java — the match set silently differs"),
+    (r"(?<!\\)\\A",
+     r"\A start-of-subject anchor: rlike is unanchored and multiline "
+     "semantics differ across dialects; prefer ^ with explicit flags"),
+    (r"(?<!\\)[*+?]\+|\}\+",
+     "possessive quantifiers (a++, a*+) are backtracking-engine "
+     "extensions; unsupported by Python re < 3.11 and RE2-family "
+     "engines, and subtly different under PCRE JIT"),
+    (r"\(\?>",
+     "atomic groups (?>...) are backtracking-engine extensions with "
+     "dialect-dependent optimizer interactions"),
+    (r"(?<!\\)\\[KGR]",
+     r"\K/\G/\R are PCRE-only; java.util.regex rejects \K and treats "
+     r"the others differently"),
+    (r"\(\?\((?:\d|<|R)",
+     "conditional groups (?(1)...) and recursion (?(R)...) are "
+     "PCRE-only"),
+    (r"\[\[:\w+:\]\]",
+     "POSIX classes [[:alpha:]] are PCRE-only; Java parses them as a "
+     "nested character class with different members"),
+]
+
+
+def _lint_pattern(p: str) -> list[str]:
+    """Return portability findings for a schema ``pattern`` (empty ==
+    clean).  Warn-only, mirroring the reference's documented-caveat
+    posture (jesse README.md:283-302 documents its PCRE dialect rather
+    than rejecting patterns)."""
+    findings = [msg for trap, msg in _REGEX_TRAPS if _pyre.search(trap, p)]
+    names = _pyre.findall(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", p)
+    dups = {n for n in names if names.count(n) > 1}
+    if dups:
+        findings.append(
+            f"duplicate named group(s) {sorted(dups)}: PCRE allows them "
+            "with the J flag; java.util.regex rejects the pattern at "
+            "runtime")
+    return findings
+
+
+def _validate_pattern(p: str, ctx: "Ctx") -> None:
+    """Compile-time regex validation + portability lint (compile
+    option ``pattern_lint``, on by default).
+
+    The runtime dialect is java.util.regex (rlike), so Java's named-
+    group syntax ``(?<name>...)`` — which Python's re rejects — is
+    normalized to ``(?P<name>...)`` for the validation compile only.
+    Duplicate named groups still fail the (normalized) compile, which
+    is parity-correct: both java.util.regex and Erlang's default re
+    options reject them too — but the lint warning fires first so the
+    SchemaError is attributable."""
+    norm = _pyre.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", p)
+    findings = _lint_pattern(p) if ctx.pattern_lint else []
+    if findings:
+        import warnings
+
+        warnings.warn(
+            f"pattern {p!r} uses non-portable regex construct(s): "
+            + "; ".join(findings)
+            + ".  Pass pattern_lint=False to compile_checks/validate "
+            "to silence.", stacklevel=4)
+    try:
+        _pyre.compile(norm)
+    except _pyre.error as exc:  # surface bad regexes at compile time
+        raise SchemaError("schema_invalid", f"pattern {p!r}: {exc}")
+
+
 def _warn_anyof_detail_dropped(total: int, cap: int) -> None:
     import warnings
 
@@ -196,6 +275,8 @@ class Ctx:
     ref_seen: tuple = ()
     # recursive-$ref unroll budget (compile option; None → module default)
     ref_unroll_max: int | None = None
+    # regex-portability lint on `pattern` keywords (compile option)
+    pattern_lint: bool = True
 
     @property
     def detail_max(self) -> int:
@@ -482,6 +563,7 @@ def compile_checks(
     null_is_absent: bool = False,
     anyof_detail_max: int | None = None,
     ref_unroll_max: int | None = None,
+    pattern_lint: bool = True,
     _ctx: Ctx | None = None,
     _path: str = "",
 ) -> list[Check]:
@@ -493,7 +575,8 @@ def compile_checks(
         _ctx = Ctx(draft=detect_draft(schema) if draft is None else draft,
                    registry=registry, root=schema,
                    anyof_detail_max=anyof_detail_max,
-                   ref_unroll_max=ref_unroll_max)
+                   ref_unroll_max=ref_unroll_max,
+                   pattern_lint=pattern_lint)
     ctx = _ctx
     schema = normalize_schema(schema, ctx.draft)
     ctx = _scoped(ctx, schema)
@@ -621,10 +704,7 @@ def compile_checks(
             add(E.WRONG_LENGTH, lambda c, n=n: _null_skip(c, F.length(c) <= n))
         if "pattern" in schema:
             p = schema["pattern"]
-            try:
-                _pyre.compile(p)
-            except _pyre.error as exc:  # surface bad regexes at compile time
-                raise SchemaError("schema_invalid", f"pattern {p!r}: {exc}")
+            _validate_pattern(p, ctx)
             add(E.NO_MATCH, lambda c, p=p: _null_skip(c, c.rlike(p)))
         if "format" in schema and ctx.draft != DRAFT3:
             # draft3 format check is a no-op (jesse_validator_draft3.erl:851-852)
@@ -735,6 +815,7 @@ def _object_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str) -> list
     # ---- patternProperties ---------------------------------------------------
     matched_by_pattern: set[str] = set()
     for pat, sub in pattern_props.items():
+        _validate_pattern(pat, ctx)
         rx = _pyre.compile(pat)
         if is_struct:
             for name in dtype.fieldNames():

@@ -130,6 +130,7 @@ def validate(
     draft: int | None = None,
     anyof_detail_max: int | None = None,
     ref_unroll_max: int | None = None,
+    pattern_lint: bool = True,
 ) -> ValidationResult:
     """Compile ``schema`` against ``df``'s static schema and build the
     full lazy validation plan (nothing executes until an action).
@@ -141,7 +142,8 @@ def validate(
     checks = compile_checks(schema, df.schema, registry=registry, draft=draft,
                             null_is_absent=True,
                             anyof_detail_max=anyof_detail_max,
-                            ref_unroll_max=ref_unroll_max)
+                            ref_unroll_max=ref_unroll_max,
+                            pattern_lint=pattern_lint)
     validated = with_violations(df, checks)
     return ValidationResult(
         validated=validated,

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from jesse_spark.compiler import (
     _num_bound,
     _scoped,
+    _validate_pattern,
     _warn_anyof_detail_dropped,
     _warn_ref_unroll,
     _ANYOF_DETAIL_MAX,
@@ -287,6 +288,7 @@ def compile_variant_checks(
     null_is_absent: bool = False,
     anyof_detail_max: int | None = None,
     ref_unroll_max: int | None = None,
+    pattern_lint: bool = True,
     _ctx: Ctx | None = None,
     _path: str = "",
 ) -> list[Check]:
@@ -294,7 +296,8 @@ def compile_variant_checks(
         _ctx = Ctx(draft=detect_draft(schema) if draft is None else draft,
                    registry=registry, root=schema,
                    anyof_detail_max=anyof_detail_max,
-                   ref_unroll_max=ref_unroll_max)
+                   ref_unroll_max=ref_unroll_max,
+                   pattern_lint=pattern_lint)
     ctx = _ctx
     schema = normalize_schema(schema, ctx.draft)
     ctx = _scoped(ctx, schema)
@@ -402,10 +405,7 @@ def compile_variant_checks(
         add(E.WRONG_LENGTH, lambda v, n=n: _guard(is_string(v), F.length(as_str(v)) <= n))
     if "pattern" in schema:
         p = schema["pattern"]
-        try:
-            _pyre.compile(p)
-        except _pyre.error as exc:
-            raise SchemaError("schema_invalid", f"pattern {p!r}: {exc}")
+        _validate_pattern(p, ctx)
         add(E.NO_MATCH, lambda v, p=p: _guard(is_string(v), as_str(v).rlike(p)))
     if "format" in schema and ctx.draft != DRAFT3:
         fp = _format_pred(schema["format"], ctx)
@@ -447,6 +447,7 @@ def compile_variant_checks(
             observed=lambda v, n=name: F.to_json(F.element_at(as_map(v), F.lit(n))))
 
     for pat, sub in pattern_props.items():
+        _validate_pattern(pat, ctx)
         sp = sub_pred(sub)
         add(E.NOT_SCHEMA_VALID,
             lambda v, p=pat, sp=sp: _guard(is_object(v), F.forall(

@@ -412,3 +412,43 @@ def test_unique_items_map_elements(spark):
     rows = df.select("id", checks[0].pred(F.col("value")).alias("ok")) \
              .orderBy("id").collect()
     assert [r["ok"] for r in rows] == [False, True]
+
+
+def test_pattern_portability_lint():
+    """Non-portable regex constructs in `pattern` warn at compile time
+    (compile option pattern_lint, VERDICT r3 #4): PCRE/Java dialect
+    divergences would otherwise silently change the match set on the
+    cluster.  The fixture patterns stay clean; pattern_lint=False
+    silences."""
+    import warnings
+
+    for bad in [r"\Afoo", "a++", "(?P<x>a)", "[[:alpha:]]"]:
+        with pytest.warns(UserWarning, match="non-portable regex"):
+            compile_checks({**D4, "pattern": bad}, T.StringType())
+    # duplicate named groups: the lint warning fires, then the compile
+    # fails (java.util.regex and Erlang re both reject duplicates)
+    from jesse_spark.errors import SchemaError
+
+    with pytest.warns(UserWarning, match="duplicate named group"):
+        with pytest.raises(SchemaError):
+            compile_checks({**D4, "pattern": "(?<n>a)|(?<n>b)"},
+                           T.StringType())
+    # Java named-group syntax compiles (normalized for validation only)
+    compile_checks({**D4, "pattern": "(?<year>[0-9]{4})"}, T.StringType())
+    # fixture/suite-style patterns: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        for good in ["^src[0-9]$", "window.*filter", "^[a-zà-ɏ]+$",
+                     r"a\\Ab", r"\d{2,4}", "(?:x)(?=y)(?!z)"]:
+            compile_checks({**D4, "pattern": good}, T.StringType())
+        # patternProperties patterns are linted too, and the option
+        # silences everything
+        compile_checks({**D4, "pattern": r"\Afoo"}, T.StringType(),
+                       pattern_lint=False)
+        compile_checks(
+            {**D4, "patternProperties": {"^ok$": {"type": "integer"}}},
+            T.MapType(T.StringType(), T.LongType()))
+    with pytest.warns(UserWarning, match="non-portable regex"):
+        compile_checks(
+            {**D4, "patternProperties": {"a++": {"type": "integer"}}},
+            T.MapType(T.StringType(), T.LongType()))
