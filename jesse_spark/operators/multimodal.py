@@ -14,7 +14,7 @@ Decode kernels are REAL for the dependency-free formats implemented in
   BT.601 YUV→RGB;
 - audio: WAV (RIFF) over the bit-exact G.711/PCM16 sample codecs.
 
-Compressed formats (JPEG/PNG/H.264/...) need codec libraries absent
+Compressed formats (JPEG/H.264/...) need codec libraries absent
 from this container; for those payloads the decode FALLS BACK to a
 clearly-marked deterministic fake (`_fake_decode`, seeded by the
 payload hash) so the Spark-side plumbing stays testable — replace by
@@ -57,9 +57,11 @@ def _fake_decode(payload: bytes, shape: tuple[int, ...]) -> np.ndarray:
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """(H, W, 3) uint8 RGB.  BMP/PPM decode for real; anything else
-    tries PIL and falls back to the documented fake."""
-    if payload and payload[:2] in (b"BM", b"P6"):
+    """(H, W, 3) uint8 RGB.  BMP/PPM/PNG decode for real (PNG via
+    stdlib zlib, media_codecs.png_decode); anything else tries PIL and
+    falls back to the documented fake."""
+    if payload and (payload[:2] in (b"BM", b"P6")
+                    or payload[:8] == mc._PNG_MAGIC):
         return mc.image_decode(payload)
     try:
         import io

@@ -169,3 +169,75 @@ def test_audio_stats_real_wav(media):
     got = rows[row[0]]
     assert got["sr_hz"] == 8000 and got["n_samples"] == len(pcm)
     assert abs(got["rms"] - float(np.sqrt(np.mean(pcm.astype(float) ** 2)))) < 1e-9
+
+
+def test_png_roundtrip_rgb_rgba_gray():
+    """png_encode/png_decode round-trip for every supported color type
+    (non-interlaced, depth 8) — real stdlib-zlib decode, no fake."""
+    rng = np.random.default_rng(11)
+    for shape in [(7, 5, 3), (7, 5, 4), (7, 5), (1, 1, 3), (40, 33, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = mc.png_decode(mc.png_encode(img))
+        exp = img[:, :, None] if img.ndim == 2 else img
+        assert dec.dtype == np.uint8 and np.array_equal(dec, exp), shape
+
+
+def test_png_all_scanline_filters():
+    """Reconstruction of Sub/Up/Average/Paeth-filtered scanlines (a
+    real encoder picks filters per row; filter-0-only would silently
+    corrupt such files)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    w, h, bpp = 6, 5, 3
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    flat = img.reshape(h, -1).astype(np.int64)
+    lines, prev = [], np.zeros(w * bpp, dtype=np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        raw = np.zeros_like(cur)
+        for x in range(w * bpp):
+            a = cur[x - bpp] if x >= bpp else 0
+            b, c = prev[x], (prev[x - bpp] if x >= bpp else 0)
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1}.get(f)
+            if pred is None:  # paeth
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw[x] = (cur[x] - pred) % 256
+        lines.append(bytes([f]) + bytes(raw.astype(np.uint8)))
+        prev = cur
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(mc.png_decode(png), img)
+
+
+def test_png_through_image_decode_and_multimodal():
+    """image_decode sniffs PNG and returns RGB (alpha dropped, gray
+    replicated); the multimodal decode path uses the REAL decoder, not
+    _fake_decode."""
+    from jesse_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(5)
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(mc.image_decode(mc.png_encode(rgba)),
+                          rgba[:, :, :3])
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert np.array_equal(mc.image_decode(mc.png_encode(gray)),
+                          np.repeat(gray[:, :, None], 3, axis=2))
+    rgb = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(mc.png_encode(rgb), 6, 4), rgb)
+
+
+def test_png_rejects_malformed():
+    with pytest.raises(ValueError):
+        mc.png_decode(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    with pytest.raises(ValueError):
+        mc.png_decode(b"BM123456")
