@@ -59,6 +59,17 @@ def pin_input_ref(spark, input_ref: str) -> str:
     return input_ref
 
 
+def _compile_opts(args) -> dict:
+    opts = {}
+    if args.anyof_detail_max is not None:
+        opts["anyof_detail_max"] = args.anyof_detail_max
+    if args.ref_unroll_max is not None:
+        opts["ref_unroll_max"] = args.ref_unroll_max
+    if args.no_pattern_lint:
+        opts["pattern_lint"] = False
+    return opts
+
+
 def cmd_validate(args) -> int:
     from jesse_spark.plans.pipeline import run_full_suite
     from jesse_spark.plans.report import write_json_reports, write_violations
@@ -77,7 +88,8 @@ def cmd_validate(args) -> int:
     if not args.checkpoint_dir:
         # plain one-shot run: overwrite outputs, verdict from this run
         res = run_full_suite(clips, codecs, schema=schema,
-                             with_audio=not args.no_audio)
+                             with_audio=not args.no_audio,
+                             compile_opts=_compile_opts(args))
         write_violations(res.violations, args.output)
         if args.json_reports:
             write_json_reports(res.validated, args.json_reports, key_col=args.key)
@@ -155,6 +167,7 @@ def _validate_checkpointed(spark, args, clips, codecs, schema, *, cm, snap,
         part = sharded.filter(F.col("_shard").isin(batch))
         res = run_full_suite(part, codecs, schema=schema,
                              with_audio=not args.no_audio,
+                             compile_opts=_compile_opts(args),
                              ignore_cols=("_shard",))
         viol = res.violations.withColumn("_shard", shard_expr(args.key, args.shards))
         (viol.write.mode("overwrite").partitionBy("_shard", "constraint")
@@ -204,6 +217,12 @@ def main(argv=None) -> int:
                         "each (crash loses at most one group)")
     v.add_argument("--json-reports", default=None)
     v.add_argument("--no-audio", action="store_true")
+    v.add_argument("--anyof-detail-max", type=int, default=None,
+                   help="anyOf branch-detail budget (compile option)")
+    v.add_argument("--ref-unroll-max", type=int, default=None,
+                   help="recursive-$ref unroll depth (compile option)")
+    v.add_argument("--no-pattern-lint", action="store_true",
+                   help="silence the regex-portability lint")
     v.set_defaults(fn=cmd_validate)
     args = p.parse_args(argv)
     return args.fn(args)

@@ -52,6 +52,7 @@ def run_full_suite(
     with_audio: bool = True,
     persist: bool = True,
     ignore_cols: tuple[str, ...] = ("_shard",),
+    compile_opts: dict | None = None,
 ) -> SuiteResult:
     """``persist=True`` caches a NARROW projection (no ``bytes``) of the
     row-suite output so the four consumers (violation rows, verdicts,
@@ -70,7 +71,11 @@ def run_full_suite(
     that must stay OUT of the validated instance: the constraint schema
     (additionalProperties: false) is compiled against the data columns
     only, so a ``_shard`` column added by the resume machinery is not
-    reported as an extra property."""
+    reported as an extra property.
+
+    ``compile_opts`` forwards compile options to
+    :func:`compile_checks` (anyof_detail_max, ref_unroll_max,
+    pattern_lint)."""
     from pyspark import StorageLevel
     from pyspark.sql import types as T
 
@@ -78,7 +83,8 @@ def run_full_suite(
     data_cols = [c for c in clips.columns if c not in set(ignore_cols)]
     data_type = T.StructType([clips.schema[c] for c in data_cols])
     inst = F.struct(*[F.col(c) for c in data_cols])
-    checks = compile_checks(schema, data_type, null_is_absent=True)
+    checks = compile_checks(schema, data_type, null_is_absent=True,
+                            **(compile_opts or {}))
     validated = with_violations(clips, checks, instance=inst)
 
     narrow = validated.drop("bytes")
