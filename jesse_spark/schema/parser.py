@@ -75,17 +75,38 @@ def _unescape_pointer_token(tok: str) -> str:
     return tok.replace("~1", "/").replace("~0", "~")
 
 
-def resolve_pointer(doc: Any, pointer: str) -> Any:
-    """Walk a JSON Pointer (RFC 6901) inside a schema document.
+def _combine_node_id(node: Any, scope: str | None) -> str | None:
+    """Fold a traversed node's own ``$id``/``id`` into the scope
+    (fragment-only anchors don't change the base URI)."""
+    if isinstance(node, dict):
+        for tag in ("$id", "id"):
+            sid = node.get(tag)
+            if isinstance(sid, str) and sid and not sid.startswith("#"):
+                return combine_id(scope, sid)
+    return scope
 
-    Mirrors jesse_state.erl:262-303 (load_local_schema).
+
+def resolve_pointer(doc: Any, pointer: str,
+                    scope: str | None = None) -> tuple[Any, str | None]:
+    """Walk a JSON Pointer (RFC 6901) inside a schema document,
+    combining the ``$id``/``id`` of every traversed ANCESTOR into the
+    base-URI scope — the spec's base-URI-change-in-subschema rule.
+    The target node's own id is NOT combined here (the compiler's
+    per-descent ``_scoped`` handles it, avoiding double-combination).
+    Returns ``(node, scope)``.
+
+    Mirrors jesse_state.erl:262-303 (load_local_schema); the ancestor
+    scope fold is an EXTENSION — jesse skip-lists the suite groups
+    that need it (draft6 "base URI change - change folder in
+    subschema", jesse_tests_draft6_SUITE.erl:56).
     """
     if pointer in ("", "#"):
-        return doc
+        return doc, scope
     if pointer.startswith("#"):
         pointer = pointer[1:]
     node = doc
     for raw in [t for t in pointer.split("/") if t != ""]:
+        scope = _combine_node_id(node, scope)
         tok = _unescape_pointer_token(raw)
         if isinstance(node, dict):
             if tok not in node:
@@ -98,7 +119,7 @@ def resolve_pointer(doc: Any, pointer: str) -> Any:
                 raise SchemaError("schema_not_found", pointer)
         else:
             raise SchemaError("schema_not_found", pointer)
-    return node
+    return node, scope
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +339,10 @@ class SchemaRegistry:
                     return hit
                 raise
             new_root, new_scope = doc, base
-        target = resolve_pointer(doc, "#" + frag) if frag else doc
+        if frag:
+            target, new_scope = resolve_pointer(doc, "#" + frag, new_scope)
+        else:
+            target = doc
         return target, new_root, new_scope
 
     def _embedded_lookup(self, canonical: str, root: Any,

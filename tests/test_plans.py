@@ -165,3 +165,12 @@ def test_clips_pipeline_plan_shape(spark):
         assert plan_str(spark, res.verdicts).count("Exchange") <= 1
     finally:
         res.validated.unpersist()
+
+
+def test_streaks_bounded_shuffles(spark, queries):
+    # one window shuffle on the key + two shrinking aggregations; no
+    # joins, no collect
+    p = _plan(spark, queries, "streaks")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert p.count("Exchange") <= 4

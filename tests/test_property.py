@@ -161,3 +161,40 @@ def test_deep_equality_key_order_invariant(spark, values, rng):
     dup_arrays = [[v, s] for v, s in pairs]
     got = _run_batch(spark, {"uniqueItems": True}, dup_arrays)
     assert not any(got), [a for a, ok in zip(dup_arrays, got) if ok]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 3),          # key
+              st.booleans()),             # valid flag
+    min_size=1, max_size=60))
+def test_streaks_batch_matches_python_reference(spark, rows):
+    """violation_streaks_batch (gaps-and-islands windows) equals the
+    obvious sequential per-key fold for arbitrary interleavings of
+    keys and validity flags."""
+    from jesse_spark.streaming.stateful import violation_streaks_batch
+
+    # sequential reference: the streaming operator's per-key fold
+    ref: dict[int, list] = {}
+    for i, (k, ok) in enumerate(rows):
+        r = ref.setdefault(k, [0, 0, 0, False])  # rows, invalid, streak, q
+        r[0] += 1
+        if ok:
+            r[2] = 0
+        else:
+            r[1] += 1
+            r[2] += 1
+            if r[2] >= 3:
+                r[3] = True
+
+    df = spark.createDataFrame(
+        [(i, k, ok) for i, (k, ok) in enumerate(rows)],
+        "ts long, k long, ok boolean")
+    got = {r["key"]: r for r in violation_streaks_batch(
+        df, key_col="k", ts_col="ts", valid_col="ok",
+        quarantine_after=3).collect()}
+    assert set(got) == set(ref)
+    for k, (n, inv, streak, q) in ref.items():
+        g = got[k]
+        assert (g["rows"], g["invalid_rows"], g["streak"],
+                g["quarantined"]) == (n, inv, streak, q), (k, rows)
