@@ -109,60 +109,46 @@ def violation_streaks_batch(
 ) -> DataFrame:
     """Deterministic batch analog of :func:`violation_streaks` — the
     same sticky-quarantine verdicts computed over a complete, static
-    table, as plain windows + aggregations (no Python in the plan).
+    table, as plain windows + one aggregation (no Python in the plan).
 
-    Gaps-and-islands: ``cum_valid`` (running count of valid rows in ts
-    order) is constant across a run of consecutive invalid rows, so
-    grouping invalid rows by (key, cum_valid) yields one group per
-    run.  Then per key: ``quarantined`` iff any run >= quarantine_after
-    (the streaming op's sticky flag — once a run reaches the threshold
-    the key stays flagged), and ``streak`` is the trailing run (the
-    island whose cum_valid equals the key's total valid count — i.e.
-    the invalid rows after the LAST valid row), 0 if the key ends
-    valid.
+    Per-row streak via running sums (no islands sub-grouping): with
+    ``s`` = cumulative invalid count in ts order and ``m`` = running
+    max of ``s`` AT valid rows, the consecutive-invalid streak ending
+    at an invalid row is ``s - coalesce(m, 0)`` (the invalid rows since
+    the last valid one), and 0 at a valid row.  Then one groupBy(key):
+    ``quarantined`` iff max(streak) >= quarantine_after (the streaming
+    op's sticky flag) and ``streak`` = the LAST row's value (max_by ts).
 
-    Scale: one window shuffle on key (sorted within partition), then
-    two spillable shrinking aggregations — no collect, no per-key
-    buffers beyond the window sort.  ``tiebreak_cols`` makes the order
-    total when ``ts_col`` can tie (pass the event id).
+    Scale: the window's hash partitioning on the key satisfies the
+    final aggregation's distribution, so the whole plan runs in ONE
+    shuffle (asserted structurally in tests/test_plans.py).
+    ``tiebreak_cols`` makes the order total when ``ts_col`` can tie
+    (pass the event id).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    valid_l = F.col(valid_col).cast("long")
+    invalid_l = (~F.col(valid_col)).cast("long")
     order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
     w_cum = (Window.partitionBy(key_col).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_all = Window.partitionBy(key_col)
     base = (
         df.select(key_col, ts_col, valid_col, *tiebreak_cols)
-        .withColumn("cum_valid", F.coalesce(F.sum(valid_l).over(w_cum),
-                                            F.lit(0)))
-        .withColumn("rows_total", F.count(F.lit(1)).over(w_all))
-        .withColumn("n_valid", F.coalesce(F.sum(valid_l).over(w_all),
-                                          F.lit(0)))
+        .withColumn("_s", F.sum(invalid_l).over(w_cum))
+        .withColumn("_m", F.max(F.when(F.col(valid_col),
+                                       F.col("_s"))).over(w_cum))
+        .withColumn("_streak", F.when(F.col(valid_col), F.lit(0))
+                    .otherwise(F.col("_s") - F.coalesce(F.col("_m"),
+                                                        F.lit(0))))
     )
-    islands = (
-        base.groupBy(
-            key_col,
-            F.when(~F.col(valid_col), F.col("cum_valid")).alias("island"))
-        .agg(F.count(F.lit(1)).alias("run_len"),
-             F.min("rows_total").alias("rows_total"),
-             F.min("n_valid").alias("n_valid"))
-    )
+    last = F.struct(*order)
     return (
-        islands.groupBy(key_col)
+        base.groupBy(key_col)
         .agg(
-            F.min("rows_total").alias("rows"),
-            (F.min("rows_total") - F.min("n_valid")).alias("invalid_rows"),
-            F.coalesce(
-                F.max(F.when(F.col("island") == F.col("n_valid"),
-                             F.col("run_len"))),
-                F.lit(0)).alias("streak"),
-            F.coalesce(
-                F.max(F.when(F.col("island").isNotNull(),
-                             F.col("run_len"))) >= quarantine_after,
-                F.lit(False)).alias("quarantined"),
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(invalid_l).alias("invalid_rows"),
+            F.max_by("_streak", last).alias("streak"),
+            (F.max("_streak") >= quarantine_after).alias("quarantined"),
         )
         .withColumnRenamed(key_col, "key")
     )

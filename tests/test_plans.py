@@ -167,10 +167,10 @@ def test_clips_pipeline_plan_shape(spark):
         res.validated.unpersist()
 
 
-def test_streaks_bounded_shuffles(spark, queries):
-    # one window shuffle on the key + two shrinking aggregations; no
-    # joins, no collect
+def test_streaks_single_shuffle(spark, queries):
+    # the window's hash partitioning on the key satisfies the final
+    # aggregation's distribution: ONE shuffle end-to-end
     p = _plan(spark, queries, "streaks")
     assert "CartesianProduct" not in p
     assert "Window" in p
-    assert p.count("Exchange") <= 4
+    assert p.count("Exchange") == 1
