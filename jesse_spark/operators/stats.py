@@ -3,10 +3,17 @@
 The table-level generalization of jesse's per-value min/max/length
 keywords (SURVEY.md §2.5): ONE ``df.agg(...)`` computes count,
 null-rate, min, max, mean, approx distinct (HLL++) and approx quantiles
-(Spark's built-in KLL-style percentile_approx sketch) for every
-requested column.  One scan, one partial-aggregate shuffle of a single
-row — this is the plan shape that survives 100 TB (never one job per
-column).
+(a true KLL sketch — Spark 4's built-in DataSketches
+``kll_sketch_agg_double``; ``sketch="gk"`` falls back to
+``percentile_approx``) for every requested column.  One scan, one
+partial-aggregate shuffle of a single row — this is the plan shape
+that survives 100 TB (never one job per column).
+
+KLL sketches are MERGEABLE: :func:`quantile_sketches` returns the raw
+sketch bytes per column, and :func:`merge_quantile_sketches` folds
+sketches from independent shards/snapshots into one — the primitive a
+resumable per-partition checkpoint run needs to report global
+quantiles without a second full scan.
 """
 
 from __future__ import annotations
@@ -21,16 +28,28 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 DEFAULT_QUANTILES = (0.25, 0.5, 0.75, 0.95, 0.99)
 
 
+def _quantile_agg(c: str, quantiles, accuracy: int, sketch: str):
+    if sketch == "kll":
+        return F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double(F.col(c).cast("double")),
+            F.lit(list(quantiles)))
+    return F.percentile_approx(F.col(c).cast("double"), list(quantiles),
+                               accuracy)
+
+
 def column_stats(
     df: DataFrame,
     cols: list[str] | None = None,
     *,
     quantiles: tuple[float, ...] = DEFAULT_QUANTILES,
     accuracy: int = 10000,
+    sketch: str = "kll",
 ) -> DataFrame:
     """Long-format stats: one output row per column, computed in a
     single aggregate pass (the stack() unpivot runs on the 1-row agg
-    result, not on the data)."""
+    result, not on the data).  ``sketch`` picks the quantile engine:
+    "kll" (DataSketches KLL, mergeable, the north-star algorithm) or
+    "gk" (percentile_approx)."""
     types = dict((f.name, f.dataType) for f in df.schema.fields)
     cols = cols or [c for c in df.columns]
     aggs = []
@@ -44,7 +63,7 @@ def column_stats(
             (F.min(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__min"),
             (F.max(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__max"),
             (F.avg(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__mean"),
-            (F.percentile_approx(F.col(c).cast("double"), list(quantiles), accuracy)
+            (_quantile_agg(c, quantiles, accuracy, sketch)
              if is_num else F.lit(None).cast("array<double>")).alias(f"{c}__quantiles"),
         ]
     one = df.agg(*aggs)
@@ -61,3 +80,37 @@ def column_stats(
         "min, max, mean, quantiles)"
     )
     return one.selectExpr(expr)
+
+
+def quantile_sketches(df: DataFrame, cols: list[str],
+                      k: int | None = None) -> DataFrame:
+    """One row: the raw KLL sketch bytes per numeric column (k = sketch
+    size parameter, default Spark's 200 ~ 1.7% rank error).  Bytes are
+    mergeable across shards/snapshots — see
+    :func:`merge_quantile_sketches`."""
+    aggs = [
+        (F.kll_sketch_agg_double(F.col(c).cast("double"), F.lit(k))
+         if k is not None
+         else F.kll_sketch_agg_double(F.col(c).cast("double"))).alias(c)
+        for c in cols
+    ]
+    return df.agg(*aggs)
+
+
+def merge_quantile_sketches(sketches: DataFrame, cols: list[str]) -> DataFrame:
+    """Fold per-shard sketch rows (the output rows of
+    :func:`quantile_sketches` unioned across shards) into one global
+    sketch per column — the resumable-checkpoint merge path: each
+    shard's stats job writes its sketch bytes to the manifest; the
+    report step merges WITHOUT rescanning data."""
+    return sketches.agg(*[F.kll_merge_agg_double(F.col(c)).alias(c)
+                          for c in cols])
+
+
+def sketch_quantiles(sketches: DataFrame, cols: list[str],
+                     quantiles: tuple[float, ...] = DEFAULT_QUANTILES) -> DataFrame:
+    """Evaluate quantiles from (merged) sketch bytes."""
+    return sketches.select(*[
+        F.kll_sketch_get_quantile_double(F.col(c), F.lit(list(quantiles)))
+        .alias(c) for c in cols
+    ])

@@ -118,14 +118,37 @@ def test_drift_zero_on_identical_distribution(spark):
 
 
 def test_quantile_sketch_error_bound(spark):
-    """percentile_approx at accuracy=10000 lands within 1% rank error
-    on a known uniform distribution."""
+    """Both quantile engines (KLL default, percentile_approx fallback)
+    land within rank-error bounds on a known uniform distribution
+    (KLL k=200 guarantees ~1.7% rank error; observed well under)."""
     from jesse_spark.operators.stats import column_stats
 
     df = spark.range(100000).select(F.col("id").cast("double").alias("x"))
-    s = column_stats(df, ["x"]).head()
-    for q, est in zip((0.25, 0.5, 0.75, 0.95, 0.99), s["quantiles"]):
-        assert abs(est / 100000 - q) < 0.01, (q, est)
+    for engine, bound in (("kll", 0.02), ("gk", 0.01)):
+        s = column_stats(df, ["x"], sketch=engine).head()
+        for q, est in zip((0.25, 0.5, 0.75, 0.95, 0.99), s["quantiles"]):
+            assert abs(est / 100000 - q) < bound, (engine, q, est)
+
+
+def test_kll_sketches_merge_across_shards(spark):
+    """The resumable-checkpoint quantile path: per-shard KLL sketches
+    merged WITHOUT rescanning data yield the same quantiles (within
+    rank error) as one sketch over the full table."""
+    from jesse_spark.operators.stats import (
+        merge_quantile_sketches,
+        quantile_sketches,
+        sketch_quantiles,
+    )
+
+    df = spark.range(100000).select(F.col("id").cast("double").alias("x"))
+    shards = [df.filter((F.col("x") % 4) == i) for i in range(4)]
+    per_shard = shards[0].transform(lambda d: quantile_sketches(d, ["x"]))
+    for sh in shards[1:]:
+        per_shard = per_shard.union(quantile_sketches(sh, ["x"]))
+    merged_q = sketch_quantiles(
+        merge_quantile_sketches(per_shard, ["x"]), ["x"]).head()["x"]
+    for q, est in zip((0.25, 0.5, 0.75, 0.95, 0.99), merged_q):
+        assert abs(est / 100000 - q) < 0.02, (q, est)
 
 
 def _shuffle_keys(v, rng):
