@@ -541,3 +541,28 @@ def test_violation_streaks_batch_matches_streaming_semantics(spark):
         == (3, 2, 2, False)       # trailing 2-run, below threshold
     assert (d["rows"], d["invalid_rows"], d["streak"], d["quarantined"]) \
         == (3, 3, 3, True)        # all invalid: streak = rows
+
+
+def test_pyfiles_zip_imports(tmp_path):
+    """The --py-files artifact (tools/make_pyfiles.py) is importable
+    via zipimport exactly as Spark executors import it — built fresh,
+    loaded in a clean subprocess with the repo OFF sys.path."""
+    import pathlib
+    import subprocess
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                           / "tools"))
+    import make_pyfiles
+
+    zip_path = make_pyfiles.build(tmp_path / "jesse_spark.zip")
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import jesse_spark.compiler, jesse_spark.operators.stats, "
+        "jesse_spark.functions.audio, jesse_spark.cli; "
+        "print('zipimport-ok')" % str(zip_path)
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd=str(tmp_path),
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "zipimport-ok" in out.stdout
