@@ -51,6 +51,11 @@ from jesse_spark.schema.parser import (
 
 MAX_REF_DEPTH = 16  # acyclic $ref chain bound (SURVEY §2.3 #30)
 _REF_UNROLL_MAX = 8  # default recursive-$ref unroll depth (compile option)
+# Total $ref inlining budget per compile.  Depth alone does not bound
+# the EXPANSION: a schema with k $ref sites per level (the draft-4
+# meta-schema has ~10) expands ~k^unroll subtrees.  Hitting this fails
+# fast with guidance instead of an unbounded-looking hang/OOM.
+_REF_EXPANSION_BUDGET = 10_000
 _ANYOF_DETAIL_MAX = 24  # default anyOf branch-detail cap (compile option)
 
 
@@ -93,7 +98,7 @@ _REGEX_TRAPS: list[tuple[str, str]] = [
     (r"(?<!\\)\\A",
      r"\A start-of-subject anchor: rlike is unanchored and multiline "
      "semantics differ across dialects; prefer ^ with explicit flags"),
-    (r"(?<!\\)[*+?]\+|\}\+",
+    (r"(?<!\\)[*+?]\+|(?<!\\)\}\+",
      "possessive quantifiers (a++, a*+) are backtracking-engine "
      "extensions; unsupported by Python re < 3.11 and RE2-family "
      "engines, and subtly different under PCRE JIT"),
@@ -128,9 +133,11 @@ def _lint_pattern(p: str) -> list[str]:
     return findings
 
 
-def _validate_pattern(p: str, ctx: "Ctx") -> None:
+def _validate_pattern(p: str, ctx: "Ctx") -> str:
     """Compile-time regex validation + portability lint (compile
-    option ``pattern_lint``, on by default).
+    option ``pattern_lint``, on by default).  Returns the pattern with
+    Java named-group syntax normalized to Python's, for any further
+    PYTHON-side use (rlike itself gets the original — it IS Java).
 
     The runtime dialect is java.util.regex (rlike), so Java's named-
     group syntax ``(?<name>...)`` — which Python's re rejects — is
@@ -153,6 +160,7 @@ def _validate_pattern(p: str, ctx: "Ctx") -> None:
         _pyre.compile(norm)
     except _pyre.error as exc:  # surface bad regexes at compile time
         raise SchemaError("schema_invalid", f"pattern {p!r}: {exc}")
+    return norm
 
 
 def _warn_anyof_detail_dropped(total: int, cap: int) -> None:
@@ -264,7 +272,6 @@ class Ctx:
     draft: int
     registry: SchemaRegistry | None = None
     root: Any = None
-    ref_depth: int = 0
     extra_formats: dict[str, Builder] = field(default_factory=dict)
     # current base-URI scope ($id/id combined on every descent —
     # jesse_state.erl:176-196 set_current_schema → combine_id)
@@ -273,6 +280,9 @@ class Ctx:
     anyof_detail_max: int | None = None
     # ids of $ref targets on the current descent stack (cycle detection)
     ref_seen: tuple = ()
+    # total $ref inlinings this compile (SHARED across the whole tree —
+    # replace()-copied contexts alias the same list on purpose)
+    ref_expansions: list = field(default_factory=lambda: [0])
     # recursive-$ref unroll budget (compile option; None → module default)
     ref_unroll_max: int | None = None
     # regex-portability lint on `pattern` keywords (compile option)
@@ -613,6 +623,13 @@ def compile_checks(
         if len(set(ctx.ref_seen)) >= MAX_REF_DEPTH:
             raise SchemaError("schema_unsupported",
                               f"$ref chain deeper than {MAX_REF_DEPTH}")
+        ctx.ref_expansions[0] += 1
+        if ctx.ref_expansions[0] > _REF_EXPANSION_BUDGET:
+            raise SchemaError(
+                "schema_unsupported",
+                f"$ref expansion exceeds {_REF_EXPANSION_BUDGET} nodes "
+                "(a schema with many refs per level grows ~k^unroll); "
+                "lower ref_unroll_max to bound the inlined plan")
         # a remote document re-dispatches its own $schema dialect
         # (jesse_state.erl:233-241; CHANGELOG.md:61-63)
         new_draft = (ctx.draft if new_root is ctx.root
@@ -620,8 +637,7 @@ def compile_checks(
         from dataclasses import replace
 
         sub = replace(ctx, draft=new_draft, root=new_root,
-                      ref_depth=ctx.ref_depth + 1, scope=new_scope,
-                      ref_seen=ctx.ref_seen + (tid,))
+                      scope=new_scope, ref_seen=ctx.ref_seen + (tid,))
         return [c.prefixed("", lambda p: p) for c in compile_checks(
             target, dtype, null_is_absent=null_is_absent, _ctx=sub, _path=_path)]
 
@@ -815,8 +831,7 @@ def _object_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str) -> list
     # ---- patternProperties ---------------------------------------------------
     matched_by_pattern: set[str] = set()
     for pat, sub in pattern_props.items():
-        _validate_pattern(pat, ctx)
-        rx = _pyre.compile(pat)
+        rx = _pyre.compile(_validate_pattern(pat, ctx))
         if is_struct:
             for name in dtype.fieldNames():
                 if rx.search(name):

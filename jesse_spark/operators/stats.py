@@ -30,9 +30,18 @@ DEFAULT_QUANTILES = (0.25, 0.5, 0.75, 0.95, 0.99)
 
 def _quantile_agg(c: str, quantiles, accuracy: int, sketch: str):
     if sketch == "kll":
-        return F.kll_sketch_get_quantile_double(
-            F.kll_sketch_agg_double(F.col(c).cast("double")),
-            F.lit(list(quantiles)))
+        # count guard: kll_sketch_agg_double yields a NULL sketch for an
+        # empty/all-null column and get_quantile rejects it
+        # (KLL_INVALID_INPUT_SKETCH_BUFFER); return null quantiles like
+        # percentile_approx does
+        return F.when(
+            F.count(F.col(c)) > 0,
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_agg_double(F.col(c).cast("double")),
+                F.lit(list(quantiles))))
+    if sketch != "gk":
+        raise ValueError(f"unknown quantile sketch {sketch!r} "
+                         "(expected 'kll' or 'gk')")
     return F.percentile_approx(F.col(c).cast("double"), list(quantiles),
                                accuracy)
 
@@ -49,7 +58,9 @@ def column_stats(
     single aggregate pass (the stack() unpivot runs on the 1-row agg
     result, not on the data).  ``sketch`` picks the quantile engine:
     "kll" (DataSketches KLL, mergeable, the north-star algorithm) or
-    "gk" (percentile_approx)."""
+    "gk" (percentile_approx); ``accuracy`` applies to "gk" only — KLL
+    precision is governed by the sketch's k (see
+    :func:`quantile_sketches`)."""
     types = dict((f.name, f.dataType) for f in df.schema.fields)
     cols = cols or [c for c in df.columns]
     aggs = []
@@ -109,8 +120,33 @@ def merge_quantile_sketches(sketches: DataFrame, cols: list[str]) -> DataFrame:
 
 def sketch_quantiles(sketches: DataFrame, cols: list[str],
                      quantiles: tuple[float, ...] = DEFAULT_QUANTILES) -> DataFrame:
-    """Evaluate quantiles from (merged) sketch bytes."""
-    return sketches.select(*[
-        F.kll_sketch_get_quantile_double(F.col(c), F.lit(list(quantiles)))
-        .alias(c) for c in cols
-    ])
+    """Evaluate quantiles from (merged) sketch bytes.  EAGER: the input
+    is one row by contract (a global aggregate), so this collects it —
+    which also sidesteps a Catalyst edge: over a provably-empty input,
+    PropagateEmptyRelation turns the sketch into a literal null and
+    ConstantFolding then evaluates kll_sketch_get_quantile_double
+    bottom-up (throwing KLL_INVALID_INPUT_SKETCH_BUFFER) no matter how
+    the call is null-guarded.  A null sketch (all shards empty) yields
+    null quantiles, not an error."""
+    spark = sketches.sparkSession
+    [row] = sketches.collect()
+    vals = []
+    for c in cols:
+        b = row[c]
+        if b is not None:
+            # an EMPTY sketch (kll_sketch_agg over zero non-null rows
+            # returns a valid 8-byte preamble, NOT null) has no
+            # quantiles — get_quantile throws on it, so gate on n
+            out = spark.range(1).select(
+                F.kll_sketch_get_n_double(F.lit(bytes(b))).alias("n")
+            ).head()
+            if out["n"] > 0:
+                vals.append(spark.range(1).select(
+                    F.kll_sketch_get_quantile_double(
+                        F.lit(bytes(b)), F.lit(list(quantiles))).alias("q")
+                ).head()["q"])
+                continue
+        vals.append(None)
+    schema = T.StructType(
+        [T.StructField(c, T.ArrayType(T.DoubleType())) for c in cols])
+    return spark.createDataFrame([tuple(vals)], schema)

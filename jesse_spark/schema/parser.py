@@ -323,6 +323,18 @@ class SchemaRegistry:
         # matching embedded id.
         if frag and not frag.startswith("/"):
             hit = self._embedded_lookup(canonical, root, scope)
+            if hit is None and base and base != scope_base:
+                # the anchor may live in a document the loader can
+                # still fetch (file://... etc.) — load, then scan it
+                try:
+                    loaded = self.load(base)
+                except SchemaError:
+                    loaded = None
+                if loaded is not None:
+                    for uri, node, _enc in iter_embedded_ids(loaded, base):
+                        if uri == canonical:
+                            hit = (node, loaded, base)
+                            break
             if hit is not None:
                 return hit
             raise SchemaError("schema_not_found", ref)
@@ -347,18 +359,28 @@ class SchemaRegistry:
 
     def _embedded_lookup(self, canonical: str, root: Any,
                          scope: str | None):
-        """Find a subschema whose embedded ``$id``/``id`` canonicalizes
-        to ``canonical`` — first in the current root document, then in
-        every stored document.  Returns ``(target, new_root, new_scope)``
-        or None.  The new scope is the embedded id's base (fragment
-        stripped) so refs inside the target resolve against it."""
-        base = canonical.partition("#")[0]
+        """Find the subschema ``canonical`` names via an embedded
+        ``$id``/``id`` — first in the current root document, then in
+        every stored document.  Matches the exact canonical (anchor
+        form, e.g. ``http://h/sub#foo``); failing that, matches the
+        BASE against an embedded id and pointer-walks the fragment
+        inside the matched node (``http://h/sub#/definitions/d`` into
+        an embedded document ``{"$id": "http://h/sub", ...}``).
+        Returns ``(target, new_root, new_scope)`` or None."""
+        base, _, frag = canonical.partition("#")
         docs = [(root, (scope or "").partition("#")[0] or None)]
         docs += [(d, k) for k, d in self._by_id.items() if d is not root]
         for doc, doc_scope in docs:
             for uri, node, enclosing in iter_embedded_ids(doc, doc_scope):
-                if uri == canonical or (canonical == base and uri == base):
+                if uri == canonical:
                     return node, doc, (base or enclosing or doc_scope)
+                if frag.startswith("/") and base and uri == base:
+                    try:
+                        target, walked = resolve_pointer(node, "#" + frag,
+                                                         base)
+                    except SchemaError:
+                        continue
+                    return target, doc, walked
         return None
 
 

@@ -43,6 +43,7 @@ from jesse_spark.compiler import (
     _warn_anyof_detail_dropped,
     _warn_ref_unroll,
     _ANYOF_DETAIL_MAX,
+    _REF_EXPANSION_BUDGET,
     Builder,
     Check,
     Ctx,
@@ -328,13 +329,19 @@ def compile_variant_checks(
         if len(set(ctx.ref_seen)) >= MAX_REF_DEPTH:
             raise SchemaError("schema_unsupported",
                               f"$ref chain deeper than {MAX_REF_DEPTH}")
+        ctx.ref_expansions[0] += 1
+        if ctx.ref_expansions[0] > _REF_EXPANSION_BUDGET:
+            raise SchemaError(
+                "schema_unsupported",
+                f"$ref expansion exceeds {_REF_EXPANSION_BUDGET} nodes "
+                "(a schema with many refs per level grows ~k^unroll); "
+                "lower ref_unroll_max to bound the inlined plan")
         new_draft = (ctx.draft if new_root is ctx.root
                      else detect_draft(new_root, default=ctx.draft))
         from dataclasses import replace
 
         sub = replace(ctx, draft=new_draft, root=new_root,
-                      ref_depth=ctx.ref_depth + 1, scope=new_scope,
-                      ref_seen=ctx.ref_seen + (tid,))
+                      scope=new_scope, ref_seen=ctx.ref_seen + (tid,))
         return compile_variant_checks(target, null_is_absent=null_is_absent,
                                       _ctx=sub, _path=_path)
 

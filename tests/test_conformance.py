@@ -452,3 +452,29 @@ def test_pattern_portability_lint():
         compile_checks(
             {**D4, "patternProperties": {"a++": {"type": "integer"}}},
             T.MapType(T.StringType(), T.LongType()))
+
+
+def test_patternproperties_java_named_group(spark):
+    """patternProperties accepts Java named-group syntax like the
+    pattern keyword does (the Python-re compile uses the normalized
+    form) — previously escaped as a raw re.error."""
+    checks = compile_checks(
+        {**D4, "patternProperties": {"(?<year>[0-9]{4})": {"type": "integer"}}},
+        T.StructType([T.StructField("1999", T.LongType())]))
+    assert isinstance(checks, list)
+
+
+def test_ref_expansion_budget_fails_fast():
+    """A schema with many $ref sites per level (the draft-4
+    meta-schema shape) fails fast with guidance instead of expanding
+    k^unroll nodes."""
+    from jesse_spark.errors import SchemaError
+
+    branchy = {
+        **D4,
+        "definitions": {"n": {"anyOf": [{"$ref": "#"} for _ in range(6)]}},
+        "anyOf": [{"$ref": "#/definitions/n"} for _ in range(6)],
+    }
+    with pytest.raises(SchemaError, match="expansion exceeds"):
+        with pytest.warns(UserWarning):
+            compile_checks(branchy, T.LongType(), anyof_detail_max=0)

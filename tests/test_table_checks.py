@@ -88,3 +88,35 @@ def test_checkpoint_resume(spark, tmp_path, lineitem):
     assert set(cm.completed_shards("run1", snap)) == {0, 1, 2, 3}
     # a different snapshot invalidates checkpoints
     assert cm.pending(df, "run1", "other-snap").count() == df.count()
+
+
+def test_column_stats_empty_and_all_null(spark):
+    """The KLL quantile path returns null quantiles (not
+    KLL_INVALID_INPUT_SKETCH_BUFFER) for empty and all-null numeric
+    columns — the sparse-data case a stats pass must report on."""
+    import pyspark.sql.types as T
+
+    from jesse_spark.operators.stats import column_stats
+
+    empty = spark.createDataFrame([], T.StructType(
+        [T.StructField("x", T.DoubleType())]))
+    row = column_stats(empty, ["x"]).head()
+    assert row["rows"] == 0 and row["quantiles"] is None
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    row = column_stats(nulls, ["x"]).head()
+    assert row["non_null"] == 0 and row["quantiles"] is None
+    with pytest.raises(ValueError):
+        column_stats(nulls, ["x"], sketch="bogus")
+
+
+def test_sketch_quantiles_null_sketch(spark):
+    from jesse_spark.operators.stats import (
+        quantile_sketches,
+        sketch_quantiles,
+    )
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame([], T.StructType(
+        [T.StructField("x", T.DoubleType())]))
+    out = sketch_quantiles(quantile_sketches(empty, ["x"]), ["x"]).head()
+    assert out["x"] is None
