@@ -279,3 +279,34 @@ def test_mutually_recursive_refs_unroll(spark):
     # the missing tag_b is nested under /b, so it surfaces as the
     # parent property's not_schema_valid (variant nesting collapse)
     assert "not_schema_valid" in got[json.dumps(bad)]
+
+
+def test_anchor_in_loader_fetched_document(tmp_path):
+    """An anchor fragment in a document the loader can still fetch
+    (not yet cached) resolves: the anchor branch tries load(base)
+    before giving up (r4 review finding)."""
+    import json as _json
+
+    doc = {**D6, "$id": f"file://{tmp_path}/defs.json",
+           "definitions": {"pos": {"$id": "#positive",
+                                   "type": "integer", "minimum": 1}}}
+    (tmp_path / "defs.json").write_text(_json.dumps(doc))
+    reg = SchemaRegistry()
+    target, new_root, new_scope = reg.resolve_ref(
+        f"file://{tmp_path}/defs.json#positive", {}, scope=None)
+    assert target["minimum"] == 1
+    assert new_root is not None
+
+
+def test_pointer_into_embedded_id_document():
+    """A JSON-pointer ref whose BASE is an embedded-$id document
+    pointer-walks inside the matched node (r4 review finding)."""
+    reg = SchemaRegistry()
+    host = {**D6, "$id": "http://h/host.json",
+            "definitions": {
+                "sub": {"$id": "http://h/sub",
+                        "definitions": {"d": {"type": "integer"}}}}}
+    reg.add(host)
+    target, new_root, new_scope = reg.resolve_ref(
+        "http://h/sub#/definitions/d", host, scope="http://h/host.json")
+    assert target == {"type": "integer"}
