@@ -77,8 +77,8 @@ def run_clip_suite(spark, path: str) -> dict:
 # wall a single noise burst IS the measurement (VERDICT r3: five
 # sub-second queries "regressed" 2.3-3.8x with zero code change under
 # min-of-2), and extra reps of a cheap query cost almost nothing.
-# The flagship clips suite stays at base reps (it has its own warm-up
-# pass and is expensive enough to amortize noise).
+# The flagship clips suite takes min-of-max(QUERY_REPS, 3) after its
+# own warm-up pass (see main_default).
 QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
 QUERY_REPS_FAST = int(os.environ.get("SPARK_GRAFT_QUERY_REPS_FAST", "5"))
 FAST_WALL_S = float(os.environ.get("SPARK_GRAFT_FAST_WALL_S", "2.0"))
@@ -133,8 +133,12 @@ def main_default() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     materialize_clips(spark, N_CLIPS, CLIPS_PATH, CPUS)
     run_clip_suite(spark, CLIPS_PATH)   # warm-up: JIT, workers, page cache
-    # best of N timed passes — same host-noise rationale as QUERY_REPS
-    clip = min((run_clip_suite(spark, CLIPS_PATH) for _ in range(QUERY_REPS)),
+    # best of N timed passes — same host-noise rationale as QUERY_REPS,
+    # but floor at 3: the flagship is the headline number and an r4
+    # interleaved A/B measured the same binary swinging 5.2-17.2 s
+    # within minutes on this host
+    clip = min((run_clip_suite(spark, CLIPS_PATH)
+                for _ in range(max(QUERY_REPS, 3))),
                key=lambda c: c["wall"])
     queries = bench_queries(spark)
     queries["clips_full_suite"] = round(clip["wall"], 3)
