@@ -78,6 +78,53 @@ def q_stats_single_pass(spark, sf_dir):
     )
 
 
+def q_stats_quantiles(spark, sf_dir):
+    """KLL quantiles, oracled in the EXACT regime (VERDICT r4 advice
+    #1): supplier has n=100 (sf0.01) / n=1000 (sf0.1) rows, far below
+    the sketch k=4096, so the sketch retains every value and
+    get_quantile (DataSketches inclusive rank) is exactly the smallest
+    value whose cume_dist >= q — which the DuckDB oracle computes
+    literally.  Covers BOTH paths: qv_direct is the one-pass global
+    sketch, qv_merged goes per-shard sketches -> merge_quantile_sketches
+    -> sketch_quantiles (the resumable-checkpoint merge primitive);
+    both must equal the exact answer.  s_nationkey is tie-heavy on
+    purpose (25 distinct over 100+ rows) to pin the inclusive-rank tie
+    rule."""
+    from jesse_spark.operators.stats import (
+        merge_quantile_sketches,
+        quantile_sketches,
+        sketch_quantiles,
+    )
+
+    qs, k, cols = [0.25, 0.5, 0.75, 0.95, 0.99], 4096, \
+        ["s_acctbal", "s_nationkey"]
+    sup = _t(spark, sf_dir, "supplier")
+    direct = sketch_quantiles(quantile_sketches(sup, cols, k=k), cols,
+                              tuple(qs))
+    sharded = sup.withColumn("_shard", F.pmod(F.hash("s_suppkey"), F.lit(8)))
+    per_shard = sharded.groupBy("_shard").agg(*[
+        F.kll_sketch_agg_double(F.col(c).cast("double"), F.lit(k)).alias(c)
+        for c in cols])
+    merged = sketch_quantiles(
+        merge_quantile_sketches(per_shard.select(*cols), cols), cols,
+        tuple(qs))
+    q_arr = F.array(*[F.lit(q) for q in qs])
+    parts = []
+    for c in cols:
+        d = direct.select(F.posexplode(c).alias("pos", "qv_direct"))
+        m = merged.select(F.posexplode(c).alias("pos", "qv_merged"))
+        parts.append(
+            d.join(m, "pos").select(
+                F.lit(c).alias("column_name"),
+                F.round(F.element_at(q_arr, F.col("pos") + 1), 6).alias("q"),
+                F.round("qv_direct", 6).alias("qv_direct"),
+                F.round("qv_merged", 6).alias("qv_merged")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def q_uniqueness_dup_keys(spark, sf_dir):
     from jesse_spark.operators.uniqueness import find_duplicates
 
@@ -421,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
         "stats_single_pass": q_stats_single_pass,
+        "stats_quantiles": q_stats_quantiles,
         "uniqueness_dup_keys": q_uniqueness_dup_keys,
         "uniqueness_dup_keys_salted": q_uniqueness_dup_keys_salted,
         "uniqueness_gate": q_uniqueness_gate,
@@ -708,6 +756,27 @@ def oracle_sql() -> dict[str, str]:
     return {
         "validate_documents": docs_viol,
         "stats_single_pass": stats,
+        # exact-regime KLL oracle: n << k, so the sketch keeps every
+        # value and the inclusive-rank quantile is literally "smallest
+        # x with cume_dist >= q"; direct and merged paths must agree
+        "stats_quantiles": """
+    WITH qs(q) AS (VALUES (0.25),(0.5),(0.75),(0.95),(0.99)),
+    acct AS (SELECT CAST(s_acctbal AS DOUBLE) x,
+                    cume_dist() OVER (ORDER BY s_acctbal) cd
+             FROM supplier WHERE s_acctbal IS NOT NULL),
+    nat AS (SELECT CAST(s_nationkey AS DOUBLE) x,
+                   cume_dist() OVER (ORDER BY s_nationkey) cd
+            FROM supplier WHERE s_nationkey IS NOT NULL)
+    SELECT 's_acctbal' AS column_name, CAST(q AS DOUBLE) AS q,
+           round((SELECT min(x) FROM acct WHERE cd >= qs.q), 6) AS qv_direct,
+           round((SELECT min(x) FROM acct WHERE cd >= qs.q), 6) AS qv_merged
+    FROM qs
+    UNION ALL
+    SELECT 's_nationkey', CAST(q AS DOUBLE),
+           round((SELECT min(x) FROM nat WHERE cd >= qs.q), 6),
+           round((SELECT min(x) FROM nat WHERE cd >= qs.q), 6)
+    FROM qs
+    """,
         "uniqueness_dup_keys": (
             "SELECT l_orderkey, count(*) AS dup_count FROM lineitem "
             "GROUP BY l_orderkey HAVING count(*) > 1"),

@@ -117,12 +117,55 @@ _REGEX_TRAPS: list[tuple[str, str]] = [
 ]
 
 
+def _mask_char_classes(p: str) -> str:
+    """Replace the interior of unescaped ``[...]`` character classes
+    with ``x`` so quantifier-shaped chars inside a class (``[*+]+`` is a
+    quantified class, not a possessive quantifier) don't trip the
+    quantifier lints.  Handles escapes and the literal leading ``]``
+    (``[]]`` / ``[^]]``) per both Java and Python class grammar."""
+    out: list[str] = []
+    i, n = 0, len(p)
+    while i < n:
+        ch = p[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(p[i:i + 2])
+            i += 2
+            continue
+        if ch != "[":
+            out.append(ch)
+            i += 1
+            continue
+        out.append("[")
+        i += 1
+        if i < n and p[i] == "^":
+            out.append("^")
+            i += 1
+        if i < n and p[i] == "]":       # leading ] is a literal member
+            out.append("x")
+            i += 1
+        while i < n and p[i] != "]":
+            i += 2 if p[i] == "\\" and i + 1 < n else 1
+            out.append("x")
+        if i < n:                       # closing ]
+            out.append("]")
+            i += 1
+    return "".join(out)
+
+
+# traps whose findings would be false-positives on chars INSIDE a
+# character class — matched against the class-masked pattern
+_CLASS_BLIND_TRAPS = {r"(?<!\\)[*+?]\+|(?<!\\)\}\+", r"\(\?>"}
+
+
 def _lint_pattern(p: str) -> list[str]:
     """Return portability findings for a schema ``pattern`` (empty ==
     clean).  Warn-only, mirroring the reference's documented-caveat
     posture (jesse README.md:283-302 documents its PCRE dialect rather
     than rejecting patterns)."""
-    findings = [msg for trap, msg in _REGEX_TRAPS if _pyre.search(trap, p)]
+    masked = _mask_char_classes(p)
+    findings = [msg for trap, msg in _REGEX_TRAPS
+                if _pyre.search(trap,
+                                masked if trap in _CLASS_BLIND_TRAPS else p)]
     names = _pyre.findall(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", p)
     dups = {n for n in names if names.count(n) > 1}
     if dups:
@@ -615,12 +658,16 @@ def compile_checks(
         # ref_unroll_exceeded) rather than silently accepted.  The pred
         # sits under the ancestors' presence guards, so only instances
         # that actually REACH the cutoff depth fire it.
-        tid = id(target)
-        if ctx.ref_seen.count(tid) >= ctx.unroll_max:
+        # ref_seen holds the resolved TARGET NODES themselves (not
+        # id()s): the tuple's strong references guarantee no node on
+        # the stack is collected, so identity comparison can't be
+        # fooled by CPython id reuse, regardless of whether the
+        # registry keeps documents alive.
+        if sum(1 for t in ctx.ref_seen if t is target) >= ctx.unroll_max:
             _warn_ref_unroll(ctx.unroll_max)
             return [Check(E.REF_UNROLL_EXCEEDED, _path,
                           lambda v: F.lit(False), _as_str)]
-        if len(set(ctx.ref_seen)) >= MAX_REF_DEPTH:
+        if len({id(t) for t in ctx.ref_seen}) >= MAX_REF_DEPTH:
             raise SchemaError("schema_unsupported",
                               f"$ref chain deeper than {MAX_REF_DEPTH}")
         ctx.ref_expansions[0] += 1
@@ -637,7 +684,7 @@ def compile_checks(
         from dataclasses import replace
 
         sub = replace(ctx, draft=new_draft, root=new_root,
-                      scope=new_scope, ref_seen=ctx.ref_seen + (tid,))
+                      scope=new_scope, ref_seen=ctx.ref_seen + (target,))
         return [c.prefixed("", lambda p: p) for c in compile_checks(
             target, dtype, null_is_absent=null_is_absent, _ctx=sub, _path=_path)]
 

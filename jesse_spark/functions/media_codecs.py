@@ -162,18 +162,26 @@ def png_decode(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG (bad magic)")
     pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        (ln,), tag = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + ln]
-        pos += 12 + ln
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
+    # corrupt input must surface as ValueError like the BMP/PPM
+    # decoders, not leak struct.error (truncated IHDR body) or
+    # zlib.error (garbage/missing IDAT stream)
+    try:
+        while pos + 8 <= len(payload):
+            (ln,), tag = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+            body = payload[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+    except struct.error as e:
+        raise ValueError(f"corrupt PNG chunk: {e}") from e
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if depth != 8 or comp != 0 or filt != 0:
         raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
@@ -182,7 +190,10 @@ def png_decode(payload: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
-    data = zlib.decompress(b"".join(idat))
+    try:
+        data = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     bpp = channels                      # bytes per pixel at depth 8
     stride = w * bpp
     if len(data) < h * (1 + stride):

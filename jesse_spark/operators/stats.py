@@ -130,23 +130,29 @@ def sketch_quantiles(sketches: DataFrame, cols: list[str],
     null quantiles, not an error."""
     spark = sketches.sparkSession
     [row] = sketches.collect()
-    vals = []
-    for c in cols:
-        b = row[c]
-        if b is not None:
-            # an EMPTY sketch (kll_sketch_agg over zero non-null rows
-            # returns a valid 8-byte preamble, NOT null) has no
-            # quantiles — get_quantile throws on it, so gate on n
-            out = spark.range(1).select(
-                F.kll_sketch_get_n_double(F.lit(bytes(b))).alias("n")
-            ).head()
-            if out["n"] > 0:
-                vals.append(spark.range(1).select(
-                    F.kll_sketch_get_quantile_double(
-                        F.lit(bytes(b)), F.lit(list(quantiles))).alias("q")
-                ).head()["q"])
-                continue
-        vals.append(None)
+    # ONE single-row job evaluates every non-null column's n AND
+    # quantiles together (not 2 jobs per column).  The n>0 gate must be
+    # a Python branch on the collected row, not F.when: an EMPTY sketch
+    # (kll_sketch_agg over zero non-null rows returns a valid 8-byte
+    # preamble, NOT null) makes get_quantile throw, and ConstantFolding
+    # evaluates the literal-input call eagerly regardless of any
+    # enclosing CASE — so split the job in two passes over literals.
+    present = [c for c in cols if row[c] is not None]
+    n_by_col: dict[str, int] = {}
+    if present:
+        n_row = spark.range(1).select(*[
+            F.kll_sketch_get_n_double(F.lit(bytes(row[c]))).alias(c)
+            for c in present]).head()
+        n_by_col = {c: n_row[c] for c in present}
+    live = [c for c in present if n_by_col[c] > 0]
+    q_by_col: dict[str, list] = {}
+    if live:
+        q_row = spark.range(1).select(*[
+            F.kll_sketch_get_quantile_double(
+                F.lit(bytes(row[c])), F.lit(list(quantiles))).alias(c)
+            for c in live]).head()
+        q_by_col = {c: q_row[c] for c in live}
+    vals = [q_by_col.get(c) for c in cols]
     schema = T.StructType(
         [T.StructField(c, T.ArrayType(T.DoubleType())) for c in cols])
     return spark.createDataFrame([tuple(vals)], schema)

@@ -70,9 +70,13 @@ def violation_streaks(
         group = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(group):
             group = group.sort_values(ts_col)
+            # NULL valid ≡ NOT valid — same coalesce-to-False semantic
+            # as violation_streaks_batch (None arrives as object-dtype
+            # None or float NaN depending on the Arrow path; both must
+            # read invalid, and bare NaN is truthy, so normalize)
             for ok in group[valid_col].to_numpy():
                 rows += 1
-                if ok:
+                if ok is not None and ok == ok and bool(ok):
                     streak = 0
                 else:
                     invalid += 1
@@ -128,16 +132,20 @@ def violation_streaks_batch(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    invalid_l = (~F.col(valid_col)).cast("long")
+    # NULL valid ≡ NOT valid (a row whose verdict is unknown continues
+    # the streak) — coalesced here AND in the streaming op so both
+    # paths share one semantic instead of the sum/when split a raw
+    # NULL would produce (counted by neither branch).
+    valid = F.coalesce(F.col(valid_col), F.lit(False))
+    invalid_l = (~valid).cast("long")
     order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
     w_cum = (Window.partitionBy(key_col).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     base = (
         df.select(key_col, ts_col, valid_col, *tiebreak_cols)
         .withColumn("_s", F.sum(invalid_l).over(w_cum))
-        .withColumn("_m", F.max(F.when(F.col(valid_col),
-                                       F.col("_s"))).over(w_cum))
-        .withColumn("_streak", F.when(F.col(valid_col), F.lit(0))
+        .withColumn("_m", F.max(F.when(valid, F.col("_s"))).over(w_cum))
+        .withColumn("_streak", F.when(valid, F.lit(0))
                     .otherwise(F.col("_s") - F.coalesce(F.col("_m"),
                                                         F.lit(0))))
     )

@@ -448,6 +448,13 @@ def test_pattern_portability_lint():
         compile_checks(
             {**D4, "patternProperties": {"^ok$": {"type": "integer"}}},
             T.MapType(T.StringType(), T.LongType()))
+        # quantifier chars INSIDE a character class are not possessive
+        # quantifiers (ADVICE r4 #3): [*+]+ is a quantified class
+        for good in ["[*+]+", "[+]+x", "[^*+?]+", "[]+]+", r"[\]+]+"]:
+            compile_checks({**D4, "pattern": good}, T.StringType())
+    # but a REAL possessive quantifier right after a class still warns
+    with pytest.warns(UserWarning, match="possessive"):
+        compile_checks({**D4, "pattern": "[ab]++"}, T.StringType())
     with pytest.warns(UserWarning, match="non-portable regex"):
         compile_checks(
             {**D4, "patternProperties": {"a++": {"type": "integer"}}},

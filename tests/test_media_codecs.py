@@ -241,3 +241,31 @@ def test_png_rejects_malformed():
         mc.png_decode(b"\x89PNG\r\n\x1a\nnot-a-chunk")
     with pytest.raises(ValueError):
         mc.png_decode(b"BM123456")
+
+
+def test_png_corrupt_raises_valueerror_not_internal():
+    """Corrupt input surfaces as ValueError per the BMP/PPM decoder
+    convention — never struct.error (truncated IHDR body) or zlib.error
+    (missing/garbage IDAT) leaking from the internals (ADVICE r4 #1)."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    # IHDR + IEND but no IDAT at all
+    with pytest.raises(ValueError, match="IDAT"):
+        mc.png_decode(magic + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    # truncated IHDR body (struct.error path)
+    with pytest.raises(ValueError):
+        mc.png_decode(magic + chunk(b"IHDR", ihdr[:5])
+                      + chunk(b"IDAT", zlib.compress(b"\0" * 14))
+                      + chunk(b"IEND", b""))
+    # garbage IDAT stream (zlib.error path)
+    with pytest.raises(ValueError, match="IDAT"):
+        mc.png_decode(magic + chunk(b"IHDR", ihdr)
+                      + chunk(b"IDAT", b"\xff\xfe\xfd\xfc")
+                      + chunk(b"IEND", b""))

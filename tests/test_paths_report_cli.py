@@ -543,6 +543,33 @@ def test_violation_streaks_batch_matches_streaming_semantics(spark):
         == (3, 3, 3, True)        # all invalid: streak = rows
 
 
+def test_violation_streaks_batch_null_valid_is_invalid(spark):
+    """NULL in valid_col reads as NOT valid (streak-continuing AND
+    counted in invalid_rows) — one defined semantic instead of the
+    sum-skips/when-otherwise split a raw NULL would produce
+    (ADVICE r4 #4)."""
+    from pyspark.sql import functions as F
+
+    from jesse_spark.streaming import violation_streaks_batch
+
+    df = spark.createDataFrame(
+        [("K", 0, True), ("K", 1, None), ("K", 2, None), ("K", 3, False),
+         ("L", 0, None), ("L", 1, True)],
+        "key_c string, seq long, ok boolean",
+    ).withColumn("ts", F.col("seq").cast("timestamp"))
+    out = {r["key"]: r for r in violation_streaks_batch(
+        df, key_col="key_c", ts_col="ts", valid_col="ok",
+        quarantine_after=3).collect()}
+    k, l = out["K"], out["L"]
+    # K: valid, null, null, false → trailing streak 3 (nulls count),
+    # invalid_rows 3, quarantined
+    assert (k["rows"], k["invalid_rows"], k["streak"], k["quarantined"]) \
+        == (4, 3, 3, True)
+    # L: null then valid → streak reset, 1 invalid, not quarantined
+    assert (l["rows"], l["invalid_rows"], l["streak"], l["quarantined"]) \
+        == (2, 1, 0, False)
+
+
 def test_pyfiles_zip_imports(tmp_path):
     """The --py-files artifact (tools/make_pyfiles.py) is importable
     via zipimport exactly as Spark executors import it — built fresh,

@@ -120,3 +120,36 @@ def test_sketch_quantiles_null_sketch(spark):
         [T.StructField("x", T.DoubleType())]))
     out = sketch_quantiles(quantile_sketches(empty, ["x"]), ["x"]).head()
     assert out["x"] is None
+
+
+def test_sketch_quantiles_mixed_columns_batched(spark):
+    """A live, an all-null, and an empty-sketch column evaluate
+    correctly together — and in a BOUNDED number of Spark jobs (2, not
+    2-per-column; ADVICE r4 #5)."""
+    from jesse_spark.operators.stats import (
+        quantile_sketches,
+        sketch_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, None, 10.0, 5.0), (2.0, None, 20.0, 5.0),
+         (3.0, None, 30.0, 5.0), (4.0, None, 40.0, 5.0)],
+        "x double, y double, z double, w double")
+    cols = ["x", "y", "z", "w"]
+    # materialize the sketch row first so the measured window contains
+    # ONLY sketch_quantiles' own jobs (collect + n-eval + quantile-eval)
+    sk = quantile_sketches(df, cols).cache()
+    sk.count()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out_df = sketch_quantiles(sk, cols, (0.5, 1.0))
+    jobs = len(tracker.getJobIdsForGroup(None) or []) - before
+    out = out_df.head()
+    assert list(out["x"]) == [2.0, 4.0]   # inclusive rank: cd>=0.5 -> 2.0
+    assert out["y"] is None               # all-null -> empty sketch
+    assert list(out["z"]) == [20.0, 40.0]
+    assert list(out["w"]) == [5.0, 5.0]
+    # 1 collect + 1 get_n job + 1 get_quantile job — NOT 2 per column
+    # (3 live columns would be 6 under the per-column loop)
+    assert jobs <= 3, jobs
+    sk.unpersist()
