@@ -17,12 +17,18 @@ external codec libraries needed, so nothing here is stubbed:
   delegates to the bit-exact G.711 µ-law/A-law/PCM16 kernels in
   :mod:`jesse_spark.functions.audio` (format tags 1/6/7).
 
+- **JPEG** (baseline DCT / SOF0, Annex K tables, 4:4:4 / 4:2:2 /
+  4:2:0, restart intervals): full marker walk, canonical huffman,
+  dequant + matrix IDCT, YCbCr→RGB — plus a real encoder for
+  round-trip tests.
+
 The reference has no media layer at all (jesse validates JSON); this
 is north-star "training-data pipeline" surface: the formats were
 chosen because their full spec is implementable exactly, which keeps
 the multimodal operators real end-to-end instead of stubbed.
-Compressed formats (JPEG/H.264/...) still require cluster images with
-PIL/ffmpeg — see operators/multimodal.py for the gated fallback.
+Remaining compressed formats (progressive JPEG/WebP/H.264/...) still
+require cluster images with PIL/ffmpeg — see operators/multimodal.py
+for the gated fallback.
 """
 
 from __future__ import annotations
@@ -230,6 +236,501 @@ def png_decode(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, channels)
 
 
+# ---------------------------------------------------------------------------
+# JPEG — baseline DCT (SOF0), Annex K tables, 4:4:4 and 4:2:0; pure
+# numpy + stdlib.  Marker parse → huffman → dequant → IDCT → YCbCr.
+# Offline caveat: conformance against libjpeg can't be cross-checked in
+# this container (no PIL/ffmpeg); tests pin encode→decode round-trip
+# tolerance, DC-only exactness on solid colors, and marker structure.
+# ---------------------------------------------------------------------------
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32)
+
+# Annex K canonical huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    a = np.cos((2 * n + 1) * k * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+def _huff_encode_map(bits, vals) -> dict[int, tuple[int, int]]:
+    """value → (code, length), canonical JPEG assignment."""
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) → value."""
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def s(t):
+        return np.clip((t * scale + 50) // 100, 1, 255).astype(np.int32)
+    return s(_QT_LUMA), s(_QT_CHROMA)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)   # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+    def restart(self, n: int) -> None:
+        """Byte-align (1-pad) and emit RSTn — markers are NOT stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits for a nonzero DC
+    diff / AC coefficient."""
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _encode_block(w: _BitWriter, block: np.ndarray, qt: np.ndarray,
+                  dc_map, ac_map, pred: int) -> int:
+    coef = _DCT_A @ (block.astype(np.float64) - 128.0) @ _DCT_A.T
+    qz = np.round(coef.reshape(64)[_ZIGZAG] / qt).astype(np.int64)
+    dc = int(qz[0])
+    diff = dc - pred
+    if diff == 0:
+        c, ln = dc_map[0]
+        w.put(c, ln)
+    else:
+        s, bits = _magnitude(diff)
+        c, ln = dc_map[s]
+        w.put(c, ln)
+        w.put(bits, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(qz)[0])) if np.any(qz[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(qz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_map[0xF0]        # ZRL
+            w.put(c, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        c, ln = ac_map[(run << 4) | s]
+        w.put(c, ln)
+        w.put(bits, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_map[0x00]            # EOB
+        w.put(c, ln)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline SOF0 encoder: (H, W, 3) RGB → 4:4:4 (or 4:2:0 with
+    ``subsample=True``); (H, W) → single-component grayscale.  Annex K
+    huffman tables, quality-scaled Annex K quant tables.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (the error-resilience feature real encoders use on large
+    images)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qty, qtc = _quality_tables(quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2]
+        if subsample:
+            def box2(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                            mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2]
+                        + pp[1::2, 1::2]) / 4.0
+            planes = [y, box2(cb), box2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (hi, vi) in zip(planes, samp):
+        ph, pw = mcuy * 8 * vi, mcux * 8 * hi
+        padded.append(np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                             mode="edge"))
+    dc_maps = [_huff_encode_map(*_DC_LUMA)] + \
+        [_huff_encode_map(*_DC_CHROMA)] * (len(planes) - 1)
+    ac_maps = [_huff_encode_map(*_AC_LUMA)] + \
+        [_huff_encode_map(*_AC_CHROMA)] * (len(planes) - 1)
+    qts = [qty] + [qtc] * (len(planes) - 1)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_n = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+            mcu_n += 1
+            for ci, (p, (hi, vi)) in enumerate(zip(padded, samp)):
+                for by in range(vi):
+                    for bx in range(hi):
+                        r0 = (my * vi + by) * 8
+                        c0 = (mx * hi + bx) * 8
+                        preds[ci] = _encode_block(
+                            bw, p[r0:r0 + 8, c0:c0 + 8], qts[ci],
+                            dc_maps[ci], ac_maps[ci], preds[ci])
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(v) for v in qty))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes(int(v) for v in qtc))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += _seg(0xC0, sof)
+    for cls, tid, (bits, vals) in [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)] + \
+            ([] if gray else [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]):
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                    + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-coded segment reader: un-stuffs 0xFF00, byte-aligns and
+    resets at RSTn, stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.restart_hit = False
+
+    def _next_byte(self) -> int | None:
+        d = self.data
+        while self.pos < len(d):
+            b = d[self.pos]
+            if b != 0xFF:
+                self.pos += 1
+                return b
+            m = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if m == 0x00:
+                self.pos += 2
+                return 0xFF
+            if 0xD0 <= m <= 0xD7:       # RSTn: consume, signal reset
+                self.pos += 2
+                self.restart_hit = True
+                return self._next_byte()
+            return None                 # real marker: stop
+        return None
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self._next_byte()
+            if b is None:
+                raise ValueError("JPEG scan data truncated")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Baseline-DCT (SOF0) JPEG → (H, W, C) uint8 (C = 1 gray, 3 RGB).
+    Supports 4:4:4 / 4:2:2 / 4:2:0 sampling, multiple DQT/DHT segments,
+    restart intervals (DRI/RSTn).  Progressive (SOF2), arithmetic and
+    12-bit streams are rejected with ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _jpeg_decode_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt JPEG: {e}") from e
+
+
+def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qts[tq] = np.frombuffer(body[b + 1:b + 65],
+                                        dtype=np.uint8).astype(np.int32)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1:b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17:b + 17 + nv])
+                huff[(cls, tid)] = _huff_decode_map(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            for ci in range(nc):
+                cid, sf, tq = body[6 + ci * 3:9 + ci * 3]
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF,
+                              "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0/SOF1) JPEG supported")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + si * 2], body[2 + si * 2]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["dc"] = huff[(0, tt >> 4)]
+                comp["ac"] = huff[(1, tt & 0xF)]
+                scan.append(comp)
+            return _jpeg_decode_scan(payload, pos, scan, qts, h, w,
+                                     restart_interval)
+        # else: APPn/COM — skip
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(payload, pos, comps, qts, h, w, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["plane"] = np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]),
+                              dtype=np.float64)
+        c["pred"] = 0
+        c["qt"] = qts[c["tq"]]
+    br = _BitReader(payload, pos)
+    izz = np.argsort(_ZIGZAG)           # zigzag index → natural order
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align()
+                # RSTn consumed inside the reader; reset predictors
+                for c in comps:
+                    c["pred"] = 0
+                br.restart_hit = False
+            mcu_count += 1
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = _huff_read(br, c["dc"])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, c["ac"])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16     # ZRL
+                                    continue
+                                break           # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coef = (zz * c["qt"])[izz].reshape(8, 8)
+                        blk = _DCT_A.T @ coef @ _DCT_A + 128.0
+                        r0 = (my * c["v"] + by) * 8
+                        c0 = (mx * c["h"] + bx) * 8
+                        c["plane"][r0:r0 + 8, c0:c0 + 8] = blk
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(
+            np.uint8)[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def image_decode(payload: bytes) -> np.ndarray:
     """Sniff + decode any supported raw image container, as RGB."""
     if payload[:2] == b"BM":
@@ -241,8 +742,14 @@ def image_decode(payload: bytes) -> np.ndarray:
         if px.shape[2] == 1:            # gray -> RGB
             return np.repeat(px, 3, axis=2)
         return px[:, :, :3].copy()      # RGBA -> drop alpha
+    if payload[:2] == b"\xff\xd8":
+        px = jpeg_decode(payload)
+        if px.shape[2] == 1:            # gray -> RGB
+            return np.repeat(px, 3, axis=2)
+        return px
     raise ValueError(
-        "unknown image container (supported: BMP 24-bit, PPM P6, PNG)")
+        "unknown image container (supported: BMP 24-bit, PPM P6, PNG, "
+        "baseline JPEG)")
 
 
 # ---------------------------------------------------------------------------

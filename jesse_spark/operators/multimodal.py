@@ -49,20 +49,27 @@ FEATURE_DIM = 64
 
 def _fake_decode(payload: bytes, shape: tuple[int, ...]) -> np.ndarray:
     """Deterministic stand-in for codec-library decode of COMPRESSED
-    formats only: pseudo-pixels seeded by the payload hash.  STUB —
-    BMP/PPM/Y4M/WAV payloads never reach this (they decode for real)."""
+    formats this container can't decode (progressive JPEG, WebP, ...):
+    pseudo-pixels seeded by the payload hash.  STUB — BMP/PPM/PNG/
+    baseline-JPEG/Y4M/WAV payloads never reach this (they decode for
+    real in media_codecs)."""
     seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "little")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=shape, dtype=np.uint8)
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """(H, W, 3) uint8 RGB.  BMP/PPM/PNG decode for real (PNG via
-    stdlib zlib, media_codecs.png_decode); anything else tries PIL and
+    """(H, W, 3) uint8 RGB.  BMP/PPM/PNG/baseline-JPEG decode for real
+    (media_codecs, pure numpy+stdlib); anything else tries PIL and
     falls back to the documented fake."""
-    if payload and (payload[:2] in (b"BM", b"P6")
+    if payload and (payload[:2] in (b"BM", b"P6", b"\xff\xd8")
                     or payload[:8] == mc._PNG_MAGIC):
-        return mc.image_decode(payload)
+        try:
+            return mc.image_decode(payload)
+        except ValueError:
+            if payload[:2] != b"\xff\xd8":
+                raise
+            # non-baseline JPEG (progressive/arithmetic): PIL or fake
     try:
         import io
 

@@ -320,13 +320,14 @@ def compile_variant_checks(
         target, new_root, new_scope = reg.resolve_ref(
             schema["$ref"], ctx.root, scope=ctx.scope)
         # recursive refs: bounded unroll with a fail-closed check at the
-        # budget — same policy and rationale as compiler.py's $ref branch
-        tid = id(target)
-        if ctx.ref_seen.count(tid) >= ctx.unroll_max:
+        # budget — same policy and rationale as compiler.py's $ref
+        # branch (ref_seen holds the node objects themselves so CPython
+        # id reuse can't fool the revisit count)
+        if sum(1 for t in ctx.ref_seen if t is target) >= ctx.unroll_max:
             _warn_ref_unroll(ctx.unroll_max)
             return [Check(E.REF_UNROLL_EXCEEDED, _path,
                           lambda v: F.lit(False), lambda v: F.to_json(v))]
-        if len(set(ctx.ref_seen)) >= MAX_REF_DEPTH:
+        if len({id(t) for t in ctx.ref_seen}) >= MAX_REF_DEPTH:
             raise SchemaError("schema_unsupported",
                               f"$ref chain deeper than {MAX_REF_DEPTH}")
         ctx.ref_expansions[0] += 1
@@ -341,7 +342,7 @@ def compile_variant_checks(
         from dataclasses import replace
 
         sub = replace(ctx, draft=new_draft, root=new_root,
-                      scope=new_scope, ref_seen=ctx.ref_seen + (tid,))
+                      scope=new_scope, ref_seen=ctx.ref_seen + (target,))
         return compile_variant_checks(target, null_is_absent=null_is_absent,
                                       _ctx=sub, _path=_path)
 
@@ -444,14 +445,21 @@ def compile_variant_checks(
             lambda v, n=name: _guard(is_object(v), _present(as_map(v), n)),
             observed=lambda v, n=name: F.lit(n))
 
+    # per-keyword code granularity preserved through the recursion —
+    # a failing {"properties": {"a": {"minLength": 1}}} reports
+    # wrong_length at /a, not a collapsed not_schema_valid, exactly as
+    # the typed compiler and jesse's error reports do
+    # (jesse_validator_draft4.erl check_value recursion)
     for name, sub in props.items():
-        sp = sub_pred(sub)
-        add(E.NOT_SCHEMA_VALID,
-            lambda v, n=name, sp=sp: _guard(
-                is_object(v) & _present(as_map(v), n),
-                sp(F.element_at(as_map(v), F.lit(n)))),
-            path=f"/{name}",
-            observed=lambda v, n=name: F.to_json(F.element_at(as_map(v), F.lit(n))))
+        for sc in compile_variant_checks(sub, _ctx=_child(ctx)):
+            add(sc.constraint,
+                (lambda n, p: lambda v: _guard(
+                    is_object(v) & _present(as_map(v), n),
+                    p(F.element_at(as_map(v), F.lit(n)))))(name, sc.pred),
+                path=f"/{name}{sc.path}",
+                observed=(lambda n, o: lambda v:
+                          o(F.element_at(as_map(v), F.lit(n))))(
+                              name, sc.observed))
 
     for pat, sub in pattern_props.items():
         _validate_pattern(pat, ctx)
@@ -527,12 +535,17 @@ def compile_variant_checks(
     items = schema.get("items")
     if items is not None:
         if isinstance(items, list):
+            # tuple form: inner keyword codes survive at /<i>, like the
+            # typed compiler's recursion (compiler.py items tuple form)
             for i, sub in enumerate(items):
-                sp = sub_pred(sub)
-                add(E.NOT_SCHEMA_VALID, lambda v, i=i, sp=sp: _guard(
-                    is_array(v) & (F.size(as_arr(v)) > i),
-                    sp(F.get(as_arr(v), i))),
-                    path=f"/{i}")
+                for sc in compile_variant_checks(sub, _ctx=_child(ctx)):
+                    add(sc.constraint,
+                        (lambda i, p: lambda v: _guard(
+                            is_array(v) & (F.size(as_arr(v)) > i),
+                            p(F.get(as_arr(v), i))))(i, sc.pred),
+                        path=f"/{i}{sc.path}",
+                        observed=(lambda i, o: lambda v:
+                                  o(F.get(as_arr(v), i)))(i, sc.observed))
             adl = schema.get("additionalItems")
             if adl is False:
                 n = len(items)
@@ -547,10 +560,14 @@ def compile_variant_checks(
                                 F.greatest(F.size(as_arr(v)) - n, F.lit(0))),
                         lambda x: ap(x))))
         else:
-            sp = sub_pred(items)
-            add(E.NOT_SCHEMA_VALID, lambda v, sp=sp: _guard(
-                is_array(v), F.forall(as_arr(v), lambda x: sp(x))),
-                path="/*")
+            # single-schema form: one forall per inner keyword check so
+            # the element's own violation code surfaces at /*
+            for sc in compile_variant_checks(items, _ctx=_child(ctx)):
+                add(sc.constraint,
+                    (lambda p: lambda v: _guard(
+                        is_array(v),
+                        F.forall(as_arr(v), lambda x: p(x))))(sc.pred),
+                    path=f"/*{sc.path}")
 
     if "minItems" in schema:
         n = schema["minItems"]

@@ -243,6 +243,99 @@ def test_png_rejects_malformed():
         mc.png_decode(b"BM123456")
 
 
+def test_jpeg_roundtrip_tolerance():
+    """Baseline SOF0 encode→decode stays within DCT-quantization
+    tolerance: solid colors (DC-only) are exact, smooth gradients are
+    within ±2 at q92, and worst-case noise is bounded at q95.  Offline
+    caveat: no libjpeg in this container to cross-check bitstreams; the
+    DC-exactness and structural tests below pin the semantics that a
+    shared encoder/decoder bug could not cancel out."""
+    # solid color: every AC coefficient is 0 → round-trips exactly
+    solid = np.full((16, 24, 3), [200, 30, 90], dtype=np.uint8)
+    assert np.array_equal(mc.jpeg_decode(mc.jpeg_encode(solid, 90)), solid)
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack([np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255),
+                     np.clip(120 + yy, 0, 255)], axis=2).astype(np.uint8)
+    d = np.abs(mc.jpeg_decode(mc.jpeg_encode(grad, 92)).astype(int)
+               - grad.astype(int))
+    assert d.max() <= 2 and d.mean() < 1.0, (d.max(), d.mean())
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    d = np.abs(mc.jpeg_decode(mc.jpeg_encode(noise, 95)).astype(int)
+               - noise.astype(int))
+    assert d.max() <= 32, d.max()
+
+
+def test_jpeg_subsampled_and_gray_and_odd_dims():
+    yy, xx = np.mgrid[0:33, 0:47]
+    grad = np.stack([np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255),
+                     np.clip(120 + yy, 0, 255)], axis=2).astype(np.uint8)
+    # 4:2:0: chroma box-downsampled then nearest-upsampled — wider
+    # tolerance, exact output dims (MCU padding cropped)
+    dec = mc.jpeg_decode(mc.jpeg_encode(grad, 92, subsample=True))
+    assert dec.shape == grad.shape
+    d = np.abs(dec.astype(int) - grad.astype(int))
+    assert d.max() <= 8, d.max()
+    # grayscale single-component
+    g = np.clip(yy * 5, 0, 255).astype(np.uint8)
+    dec = mc.jpeg_decode(mc.jpeg_encode(g, 90))
+    assert dec.shape == (33, 47, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    # non-MCU-multiple dims incl. 1x1
+    rng = np.random.default_rng(1)
+    for shape in [(1, 1, 3), (9, 7, 3), (17, 16, 3)]:
+        im = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert mc.jpeg_decode(mc.jpeg_encode(im, 97)).shape == shape
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn: predictors reset and the reader re-aligns at every
+    marker — decode must be IDENTICAL to the no-restart stream's
+    (restart only changes entropy framing, not coefficients)."""
+    yy, xx = np.mgrid[0:33, 0:47]
+    grad = np.stack([np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255),
+                     np.clip(120 + yy, 0, 255)], axis=2).astype(np.uint8)
+    base = mc.jpeg_decode(mc.jpeg_encode(grad, 92))
+    for ri in (1, 2, 5):
+        dec = mc.jpeg_decode(mc.jpeg_encode(grad, 92, restart_interval=ri))
+        assert np.array_equal(dec, base), ri
+    dec = mc.jpeg_decode(
+        mc.jpeg_encode(grad, 92, subsample=True, restart_interval=3))
+    assert np.array_equal(
+        dec, mc.jpeg_decode(mc.jpeg_encode(grad, 92, subsample=True)))
+
+
+def test_jpeg_through_image_decode_and_multimodal():
+    """image_decode sniffs JPEG; the multimodal decode path uses the
+    REAL decoder (gray replicated to RGB), not _fake_decode."""
+    from jesse_spark.operators.multimodal import decode_image
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    grad = np.stack([np.clip(yy * 8, 0, 255)] * 3, axis=2).astype(np.uint8)
+    payload = mc.jpeg_encode(grad, 95)
+    assert np.abs(mc.image_decode(payload).astype(int)
+                  - grad.astype(int)).max() <= 3
+    assert np.abs(decode_image(payload, 24, 16).astype(int)
+                  - grad.astype(int)).max() <= 3
+    g = np.clip(yy * 9, 0, 255).astype(np.uint8)
+    rgb = mc.image_decode(mc.jpeg_encode(g, 95))
+    assert rgb.shape == (16, 24, 3)
+    assert np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
+
+
+def test_jpeg_rejects_malformed():
+    with pytest.raises(ValueError, match="SOI"):
+        mc.jpeg_decode(b"hello")
+    with pytest.raises(ValueError, match="baseline"):
+        # SOF2 (progressive)
+        mc.jpeg_decode(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    with pytest.raises(ValueError):
+        # truncated scan: valid headers, no entropy data
+        full = mc.jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8))
+        sos = full.index(b"\xff\xda")
+        mc.jpeg_decode(full[:sos + 14])
+
+
 def test_png_corrupt_raises_valueerror_not_internal():
     """Corrupt input surfaces as ValueError per the BMP/PPM decoder
     convention — never struct.error (truncated IHDR body) or zlib.error
