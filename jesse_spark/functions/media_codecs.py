@@ -432,14 +432,15 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def jpeg_encode(img: np.ndarray, quality: int = 90,
-                subsample: bool = False,
+                subsample: bool | str = False,
                 restart_interval: int = 0) -> bytes:
-    """Baseline SOF0 encoder: (H, W, 3) RGB → 4:4:4 (or 4:2:0 with
-    ``subsample=True``); (H, W) → single-component grayscale.  Annex K
-    huffman tables, quality-scaled Annex K quant tables.
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    N MCUs (the error-resilience feature real encoders use on large
-    images)."""
+    """Baseline SOF0 encoder: (H, W, 3) RGB → 4:4:4 by default,
+    4:2:0 with ``subsample=True``/``"420"``, 4:2:2 (horizontal-only
+    chroma subsampling) with ``subsample="422"``; (H, W) →
+    single-component grayscale.  Annex K huffman tables,
+    quality-scaled Annex K quant tables.  ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every N MCUs (the
+    error-resilience feature real encoders use on large images)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qty, qtc = _quality_tables(quality)
@@ -453,7 +454,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
             + 0.5 * rgb[..., 2]
         cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
             - 0.081312 * rgb[..., 2]
-        if subsample:
+        mode = {False: "444", True: "420"}.get(subsample, subsample)
+        if mode == "420":
             def box2(p):
                 hh = (p.shape[0] + 1) // 2 * 2
                 ww = (p.shape[1] + 1) // 2 * 2
@@ -463,9 +465,18 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
                         + pp[1::2, 1::2]) / 4.0
             planes = [y, box2(cb), box2(cr)]
             samp = [(2, 2), (1, 1), (1, 1)]
-        else:
+        elif mode == "422":
+            def boxh(p):
+                ww = (p.shape[1] + 1) // 2 * 2
+                pp = np.pad(p, ((0, 0), (0, ww - p.shape[1])), mode="edge")
+                return (pp[:, 0::2] + pp[:, 1::2]) / 2.0
+            planes = [y, boxh(cb), boxh(cr)]
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif mode == "444":
             planes = [y, cb, cr]
             samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown subsample mode {subsample!r}")
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))

@@ -176,7 +176,8 @@ def codecs_df(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # deterministic synthetic media table (multimodal operators)
 # ---------------------------------------------------------------------------
-MEDIA_KINDS = ("image_bmp", "image_ppm", "video_y4m", "audio_wav")
+MEDIA_KINDS = ("image_bmp", "image_ppm", "image_png", "image_jpeg",
+               "video_y4m", "audio_wav")
 
 
 def _gen_media_row(i: int) -> tuple:
@@ -188,16 +189,20 @@ def _gen_media_row(i: int) -> tuple:
     rng = np.random.default_rng([audio.MASTER_SEED, 7, i])
     kind = MEDIA_KINDS[i % len(MEDIA_KINDS)]
     mid = f"media-{i:08d}"
-    if kind in ("image_bmp", "image_ppm"):
+    if kind.startswith("image_"):
         w = int(rng.integers(4, 17)) * 2
         h = int(rng.integers(4, 17)) * 2
         yy, xx = np.mgrid[0:h, 0:w]
         base = (yy * 255 // max(h - 1, 1))[..., None] * np.array([1, 0, 0]) \
             + (xx * 255 // max(w - 1, 1))[..., None] * np.array([0, 1, 0])
         img = np.clip(base + rng.integers(0, 64, size=(h, w, 3)), 0, 255).astype(np.uint8)
-        payload = mc.bmp_encode(img) if kind == "image_bmp" else mc.ppm_encode(img)
-        mime = "image/bmp" if kind == "image_bmp" else "image/x-portable-pixmap"
-        return (mid, payload, "image", mime, w, h, None, None)
+        enc = {"image_bmp": (mc.bmp_encode, "image/bmp"),
+               "image_ppm": (mc.ppm_encode, "image/x-portable-pixmap"),
+               "image_png": (mc.png_encode, "image/png"),
+               "image_jpeg": (lambda im: mc.jpeg_encode(
+                   im, quality=92, subsample=bool(i % 2)), "image/jpeg")}
+        fn, mime = enc[kind]
+        return (mid, fn(img), "image", mime, w, h, None, None)
     if kind == "video_y4m":
         w, h = 16, 12
         n = int(rng.integers(3, 9))
@@ -213,8 +218,9 @@ def _gen_media_row(i: int) -> tuple:
 
 
 def media_df(spark: SparkSession, n: int, *, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic media table (BMP/PPM images, Y4M
-    videos, WAV audio — every payload a REAL container)."""
+    """Distributed deterministic media table (BMP/PPM/PNG/JPEG images,
+    Y4M videos, WAV audio — every payload a REAL container; JPEG
+    alternates 4:4:4 / 4:2:0)."""
     from jesse_spark.operators.multimodal import MEDIA_SCHEMA
 
     rng_range = spark.range(0, n, 1, partitions) if partitions else spark.range(n)

@@ -53,6 +53,12 @@ ARCHETYPES = {
     "obj": (T.StructType([T.StructField("a", T.LongType()),
                           T.StructField("b", T.StringType())]),
             st.tuples(longs, words)),
+    # runtime-keyed object: exercises patternProperties /
+    # additionalProperties / propertyNames where BOTH compilers
+    # dispatch on dynamic keys
+    "map": (T.MapType(T.StringType(), T.LongType()),
+            st.dictionaries(st.sampled_from(["a", "b", "px", "py", "qz"]),
+                            longs, max_size=4)),
 }
 
 _PATTERNS = ["^a", "[0-9]+$", "^[a-z]*$", "l+o", "^..?$", "z{2,}"]
@@ -130,6 +136,30 @@ def cases(draw):
             pieces.append({"maxProperties": draw(st.integers(0, 3))})
         if draw(st.booleans()):
             pieces.append({"dependencies": {"a": ["b"]}})
+    if arch == "map":
+        if draw(st.booleans()):
+            pieces.append({"required": draw(st.lists(
+                st.sampled_from(["a", "b", "px", "nope"]),
+                min_size=1, max_size=2, unique=True))})
+        if draw(st.booleans()):
+            pieces.append({"properties": {
+                "a": {"minimum": draw(st.integers(-20, 20))},
+                "b": {"multipleOf": draw(st.sampled_from([2, 3]))}}})
+        if draw(st.booleans()):
+            pieces.append({"patternProperties": {
+                "^p": {"minimum": draw(st.integers(-20, 20))}}})
+        if draw(st.booleans()):
+            pieces.append({"additionalProperties":
+                           draw(st.sampled_from(
+                               [False, {"maximum": 10}, {"minimum": -5}]))})
+        if draw(st.booleans()):
+            pieces.append({"minProperties": draw(st.integers(0, 3))})
+        if draw(st.booleans()):
+            pieces.append({"maxProperties": draw(st.integers(0, 3))})
+        if draw(st.booleans()):
+            pieces.append({"dependencies": {"a": ["b"]}})
+        if draft6 and draw(st.booleans()):
+            pieces.append({"propertyNames": {"maxLength": 1}})
     if draw(st.booleans()):
         vals = [_to_json_value(arch, v)
                 for v in draw(st.lists(inst_s, min_size=1, max_size=4))]
@@ -162,18 +192,29 @@ def _codes_select(df, col, checks):
 
 
 def _typed_codes(spark, arch, schema, instances):
+    from jesse_spark.errors import SchemaError
+
     dtype, _ = ARCHETYPES[arch]
     rows = [((tuple(v) if arch == "obj" else v),) for v in instances]
     df = spark.createDataFrame(
         rows, T.StructType([T.StructField("value", dtype, True)]))
-    checks = compile_checks(schema, dtype, null_is_absent=False)
+    try:
+        checks = compile_checks(schema, dtype, null_is_absent=False)
+    except SchemaError as e:
+        # a schema both compilers must reject: compare the error CODE
+        return f"COMPILE_ERROR:{e.args[0] if e.args else ''}"
     return _codes_select(df, F.col("value"), checks)
 
 
 def _variant_codes(spark, arch, schema, instances):
+    from jesse_spark.errors import SchemaError
+
     js = [json.dumps(_to_json_value(arch, v)) for v in instances]
     df = spark.createDataFrame([(s,) for s in js], "j string")
-    checks = compile_variant_checks(schema)
+    try:
+        checks = compile_variant_checks(schema)
+    except SchemaError as e:
+        return f"COMPILE_ERROR:{e.args[0] if e.args else ''}"
     return _codes_select(df, F.parse_json(F.col("j")), checks)
 
 
@@ -188,6 +229,11 @@ def test_typed_and_variant_compilers_agree(spark, case):
         warnings.simplefilter("ignore")   # lint/unroll warns are not the subject
         typed = _typed_codes(spark, arch, schema, instances)
         var = _variant_codes(spark, arch, schema, instances)
+    if isinstance(typed, str) or isinstance(var, str):
+        assert typed == var, (
+            f"compile divergence on arch={arch}\n"
+            f"schema={json.dumps(schema)}\ntyped={typed}\nvariant={var}")
+        return
     assert typed == var, (
         f"compiler divergence on arch={arch}\nschema={json.dumps(schema)}\n"
         + "\n".join(f"  inst={json.dumps(_to_json_value(arch, v))} "

@@ -1,6 +1,6 @@
-"""Real media codec kernels (BMP/PPM/Y4M/WAV) + multimodal operators
-over the deterministic media fixture — nothing here touches the
-stubbed compressed-format fallback."""
+"""Real media codec kernels (BMP/PPM/PNG/baseline-JPEG/Y4M/WAV) +
+multimodal operators over the deterministic media fixture — nothing
+here touches the stubbed compressed-format fallback."""
 
 import numpy as np
 import pytest
@@ -122,7 +122,7 @@ def test_image_features_match_numpy_golden(media):
     rows = {r["media_id"]: r["feature"] for r in
             image_features(media.filter(F.col("media_type") == "image")).collect()}
     assert rows
-    for i in (0, 1, 4, 5):   # image kinds in the cycle
+    for i in (0, 1, 2, 3, 6):   # image kinds in the 6-cycle (bmp/ppm/png/jpeg)
         mid, payload = _gen_media_row(i)[0], _gen_media_row(i)[1]
         px = mc.image_decode(payload)
         hist, _ = np.histogram(px, bins=FEATURE_DIM, range=(0, 256))
@@ -148,7 +148,7 @@ def test_video_frames_match_y4m_golden(media):
     vids = media.filter(F.col("media_type") == "video")
     frames = video_frame_sample(vids, every_n=2).collect()
     by = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames}
-    row = _gen_media_row(2)                       # first video kind index
+    row = _gen_media_row(4)                       # first video kind index
     payload, n = row[1], row[6]
     assert {(m, i) for (m, i) in by if m == row[0]} == {
         (row[0], i) for i in range(0, n, 2)}
@@ -164,7 +164,7 @@ def test_audio_stats_real_wav(media):
     rows = {r["media_id"]: r for r in
             audio_stats(media.filter(F.col("media_type") == "audio")).collect()}
     assert rows
-    row = _gen_media_row(3)                       # first audio kind index
+    row = _gen_media_row(5)                       # first audio kind index
     pcm, sr, codec = mc.wav_decode(row[1])
     got = rows[row[0]]
     assert got["sr_hz"] == 8000 and got["n_samples"] == len(pcm)
@@ -276,6 +276,11 @@ def test_jpeg_subsampled_and_gray_and_odd_dims():
     assert dec.shape == grad.shape
     d = np.abs(dec.astype(int) - grad.astype(int))
     assert d.max() <= 8, d.max()
+    # 4:2:2 (horizontal-only chroma): mixed sampling factors (2,1)
+    # exercise the non-square MCU block loops in both codec directions
+    dec = mc.jpeg_decode(mc.jpeg_encode(grad, 92, subsample="422"))
+    assert dec.shape == grad.shape
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 6
     # grayscale single-component
     g = np.clip(yy * 5, 0, 255).astype(np.uint8)
     dec = mc.jpeg_decode(mc.jpeg_encode(g, 90))

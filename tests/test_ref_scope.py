@@ -214,12 +214,12 @@ def test_recursive_ref_unrolls_and_fails_closed_variant(spark):
     by_depth = {len(r["j"].split("next")): list(r["codes"]) for r in rows}
     # budget 2 = two revisits of the root node, so instances up to
     # depth 3 validate normally; depth >= 4 reaches the cutoff's
-    # fail-closed check.  Nested sub-schema failures surface as the
-    # parent property's not_schema_valid (the variant compiler's
-    # nesting collapse), never as silent acceptance.
+    # fail-closed check.  Since the properties recursion preserves
+    # inner codes (round 5), the cutoff's own ref_unroll_exceeded code
+    # surfaces at its nested path — never silent acceptance.
     assert by_depth[1] == [] and by_depth[2] == [] and by_depth[3] == []
-    assert by_depth[4] == [E.NOT_SCHEMA_VALID]
-    assert by_depth[5] == [E.NOT_SCHEMA_VALID]
+    assert by_depth[4] == [E.REF_UNROLL_EXCEEDED]
+    assert by_depth[5] == [E.REF_UNROLL_EXCEEDED]
     # a root-level $ref cycle exposes the fail-closed code directly
     with pytest.warns(UserWarning, match="recursive \\$ref unrolled"):
         root_checks = compile_variant_checks({"$ref": "#"}, draft=4,
@@ -276,9 +276,9 @@ def test_mutually_recursive_refs_unroll(spark):
     ])).alias("codes")).collect()
     got = {r["j"]: list(r["codes"]) for r in rows}
     assert got[json.dumps(ok)] == []
-    # the missing tag_b is nested under /b, so it surfaces as the
-    # parent property's not_schema_valid (variant nesting collapse)
-    assert "not_schema_valid" in got[json.dumps(bad)]
+    # the missing tag_b is nested under /b and keeps its OWN code
+    # through the properties recursion (round-5 code propagation)
+    assert "missing_required_property" in got[json.dumps(bad)]
 
 
 def test_anchor_in_loader_fetched_document(tmp_path):
