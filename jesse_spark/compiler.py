@@ -892,13 +892,19 @@ def _object_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str) -> list
                             sub_wrap(name, getter)(sc.pred),
                             sub_obs(name, getter)(sc.observed)))
         elif isinstance(dtype, T.MapType):
-            vp = compile_pred(sub, dtype.valueType, ctx=_child(ctx))
-            checks.append(Check(
-                E.NOT_SCHEMA_VALID, path,
-                lambda c, p=pat, vp=vp: _null_skip(c, F.forall(
-                    F.filter(F.map_entries(c), lambda e: e.getField("key").rlike(p)),
-                    lambda e: vp(e.getField("value")))),
-                lambda c: _as_str(F.map_keys(c))))
+            # runtime keys: one forall per inner keyword check so the
+            # element's OWN code survives (jesse's error granularity;
+            # key paths can't be static, so the path is the wildcard)
+            for sc in compile_checks(sub, dtype.valueType,
+                                     null_is_absent=True,
+                                     _ctx=_child(ctx), _path=""):
+                checks.append(Check(
+                    sc.constraint, path + "/*" + sc.path,
+                    lambda c, p=pat, sp=sc.pred: _null_skip(c, F.forall(
+                        F.filter(F.map_entries(c),
+                                 lambda e: e.getField("key").rlike(p)),
+                        lambda e: sp(e.getField("value")))),
+                    lambda c: _as_str(F.map_keys(c))))
 
     # ---- additionalProperties (set algebra, D4:431-507) -----------------------
     addl = schema.get("additionalProperties")
@@ -939,12 +945,16 @@ def _object_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str) -> list
                     lambda c: _null_skip(c, F.size(extra_keys(c)) == 0),
                     lambda c: _as_str(extra_keys(c))))
             else:
-                vp = compile_pred(addl, dtype.valueType, ctx=_child(ctx))
-                checks.append(Check(
-                    E.NOT_SCHEMA_VALID, path,
-                    lambda c, vp=vp: _null_skip(c, F.forall(
-                        extra_keys(c), lambda k: vp(F.element_at(c, k)))),
-                    lambda c: _as_str(extra_keys(c))))
+                # same inner-code preservation as patternProperties
+                for sc in compile_checks(addl, dtype.valueType,
+                                         null_is_absent=True,
+                                         _ctx=_child(ctx), _path=""):
+                    checks.append(Check(
+                        sc.constraint, path + "/*" + sc.path,
+                        lambda c, sp=sc.pred: _null_skip(c, F.forall(
+                            extra_keys(c),
+                            lambda k: sp(F.element_at(c, k)))),
+                        lambda c: _as_str(extra_keys(c))))
 
     # ---- propertyNames (draft6, jesse_validator_draft6.erl:114-125,424-436) ----
     if ctx.draft >= DRAFT6 and "propertyNames" in schema:

@@ -461,14 +461,17 @@ def compile_variant_checks(
                           o(F.element_at(as_map(v), F.lit(n))))(
                               name, sc.observed))
 
+    # patternProperties: same inner-code preservation as properties —
+    # one forall per inner keyword check over the matching entries
     for pat, sub in pattern_props.items():
         _validate_pattern(pat, ctx)
-        sp = sub_pred(sub)
-        add(E.NOT_SCHEMA_VALID,
-            lambda v, p=pat, sp=sp: _guard(is_object(v), F.forall(
-                F.filter(F.map_entries(as_map(v)),
-                         lambda e: e.getField("key").rlike(p)),
-                lambda e: sp(e.getField("value")))))
+        for sc in compile_variant_checks(sub, _ctx=_child(ctx)):
+            add(sc.constraint,
+                (lambda p, sp: lambda v: _guard(is_object(v), F.forall(
+                    F.filter(F.map_entries(as_map(v)),
+                             lambda e: e.getField("key").rlike(p)),
+                    lambda e: sp(e.getField("value")))))(pat, sc.pred),
+                path=f"/*{sc.path}")
 
     addl = schema.get("additionalProperties")
     if addl is not None and addl is not True:
@@ -488,11 +491,13 @@ def compile_variant_checks(
                 lambda v: _guard(is_object(v), F.size(extra_keys(v)) == 0),
                 observed=lambda v: F.to_json(extra_keys(v)))
         else:
-            ap = sub_pred(addl)
-            add(E.NOT_SCHEMA_VALID,
-                lambda v, ap=ap: _guard(is_object(v), F.forall(
-                    extra_keys(v),
-                    lambda k: ap(F.element_at(as_map(v), k)))))
+            # schema form: inner keyword codes survive over the extras
+            for sc in compile_variant_checks(addl, _ctx=_child(ctx)):
+                add(sc.constraint,
+                    (lambda sp: lambda v: _guard(is_object(v), F.forall(
+                        extra_keys(v),
+                        lambda k: sp(F.element_at(as_map(v), k)))))(sc.pred),
+                    path=f"/*{sc.path}")
 
     if ctx.draft >= DRAFT6 and "propertyNames" in schema:
         # names are plain strings → reuse the TYPED string compiler

@@ -414,6 +414,33 @@ def test_unique_items_map_elements(spark):
     assert [r["ok"] for r in rows] == [False, True]
 
 
+def test_map_pattern_and_additional_props_propagate_codes(spark):
+    """Runtime-keyed objects (MapType): patternProperties and
+    additionalProperties-schema failures keep the inner keyword's OWN
+    code at the /* wildcard path — matching the struct branch and
+    jesse's error granularity (round 5; previously collapsed to
+    not_schema_valid)."""
+    dtype = T.MapType(T.StringType(), T.LongType())
+    schema = {**D4,
+              "properties": {"a": {"minimum": 100}},
+              "patternProperties": {"^p": {"minimum": 0}},
+              "additionalProperties": {"maximum": 10}}
+    checks = compile_checks(schema, dtype, null_is_absent=False)
+    df = spark.createDataFrame(
+        [({"px": -1},), ({"zz": 20},), ({"a": 5},),
+         ({"px": 1, "zz": 3, "a": 200},)],
+        T.StructType([T.StructField("value", dtype, True)]))
+    rows = df.select(F.array_compact(F.array(*[
+        F.when(~F.coalesce(c.pred(F.col("value")), F.lit(False)),
+               F.lit(c.constraint + "@" + c.path)) for c in checks
+    ])).alias("codes")).collect()
+    got = [sorted(r["codes"]) for r in rows]
+    assert got[0] == ["not_in_range@/*"]      # pattern match, min violated
+    assert got[1] == ["not_in_range@/*"]      # extra key, max violated
+    assert got[2] == ["not_in_range@/a"]      # declared property recursion
+    assert got[3] == []                       # every site satisfied
+
+
 def test_pattern_portability_lint():
     """Non-portable regex constructs in `pattern` warn at compile time
     (compile option pattern_lint, VERDICT r3 #4): PCRE/Java dialect

@@ -136,6 +136,15 @@ def cases(draw):
             pieces.append({"maxProperties": draw(st.integers(0, 3))})
         if draw(st.booleans()):
             pieces.append({"dependencies": {"a": ["b"]}})
+        if draw(st.booleans()):
+            pieces.append({"patternProperties": {
+                "^a": {"minimum": draw(st.integers(-20, 20))}}})
+        if draw(st.booleans()):
+            pieces.append({"properties": {"a": {}},
+                           "additionalProperties":
+                           draw(st.sampled_from(
+                               [False, {"minLength": draw(st.integers(0, 3))},
+                                {"maximum": 10}]))})
     if arch == "map":
         if draw(st.booleans()):
             pieces.append({"required": draw(st.lists(
