@@ -143,6 +143,12 @@ def main_default() -> None:
     queries = bench_queries(spark)
     queries["clips_full_suite"] = round(clip["wall"], 3)
     total = round(sum(queries.values()), 3)
+    # host-speed probe (plain multiprocessing+numpy, zero Spark, ~2 s):
+    # stamps every recorded bench line with the shared-VM host's state
+    # in that window, so cross-round comparisons can tell engine change
+    # from host noise (see BENCH/NOISE_r05.md for why this matters —
+    # the same binary swung 5.2-28.5 s within minutes)
+    hw_probe = round(_raw_control(4, 4000), 1)
     print(json.dumps({
         "metric": "validation suite wall (clips full suite + operator queries)",
         "value": total,
@@ -156,6 +162,7 @@ def main_default() -> None:
         "query_reps_min_of": QUERY_REPS,
         "query_reps_min_of_fast": QUERY_REPS_FAST,
         "fast_wall_s": FAST_WALL_S,
+        "hw_probe_items_per_sec": hw_probe,
     }))
     spark.stop()
 

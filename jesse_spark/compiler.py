@@ -1005,13 +1005,17 @@ def _object_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str) -> list
                         c, ~_present(c, dtype, n) | _present(c, dtype, d)),
                     lambda c, d=dep: F.lit(d)))
             else:
-                # schema form: whole instance validates against sub-schema
-                sp = compile_pred(dep, dtype, ctx=_child(ctx))
-                checks.append(Check(
-                    E.MISSING_DEPENDENCY, path,
-                    lambda c, n=name, sp=sp: _null_skip(
-                        c, ~_present(c, dtype, n) | sp(c)),
-                    lambda c, n=name: F.lit(n)))
+                # schema form: whole instance validates against the
+                # sub-schema; inner codes propagate — jesse re-enters
+                # check_value here (jesse_validator_draft4.erl:653-661),
+                # so failures carry the inner keyword's code
+                for sc in compile_checks(dep, dtype, null_is_absent=False,
+                                         _ctx=_child(ctx), _path=""):
+                    checks.append(Check(
+                        sc.constraint, path + sc.path,
+                        lambda c, n=name, sp=sc.pred: _null_skip(
+                            c, ~_present(c, dtype, n) | sp(c)),
+                        sc.observed))
 
     return checks
 

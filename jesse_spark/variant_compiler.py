@@ -532,9 +532,14 @@ def compile_variant_checks(
                     _present(as_map(v), d)),
                     observed=lambda v, d=dep: F.lit(d))
             else:
-                sp = sub_pred(dep)
-                add(E.MISSING_DEPENDENCY, lambda v, n=name, sp=sp: _guard(
-                    is_object(v) & _present(as_map(v), n), sp(v)))
+                # schema form: inner codes propagate, like the typed
+                # compiler (jesse_validator_draft4.erl:653-661)
+                for sc in compile_variant_checks(dep, _ctx=_child(ctx)):
+                    add(sc.constraint,
+                        (lambda n, sp: lambda v: _guard(
+                            is_object(v) & _present(as_map(v), n),
+                            sp(v)))(name, sc.pred),
+                        path=sc.path, observed=sc.observed)
 
     # ---- array -----------------------------------------------------------------
     items = schema.get("items")

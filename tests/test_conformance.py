@@ -185,8 +185,10 @@ CASES = [
     ({**D4, "dependencies": {"a": ["b"]}}, {"a": 1, "b": 2}, True),
     ({**D4, "dependencies": {"a": ["b"]}}, {"a": 1, "b": None},
      ["missing_dependency"]),
+    # schema-form dependency: the inner keyword's OWN code propagates
+    # (jesse re-enters check_value, draft4:653-661)
     ({**D4, "dependencies": {"a": {"required": ["b"]}}}, {"a": 1, "b": None},
-     ["missing_dependency"]),
+     ["missing_required_property"]),
     ({**D4, "dependencies": {"a": ["b"]}}, {"c": 1, "a": None, "b": None}, True),
     # --- items / additionalItems (D4:542-603) ---
     ({**D4, "items": {"type": "integer", "minimum": 0}}, [1, 2, 3], True),

@@ -135,7 +135,8 @@ def cases(draw):
         if draw(st.booleans()):
             pieces.append({"maxProperties": draw(st.integers(0, 3))})
         if draw(st.booleans()):
-            pieces.append({"dependencies": {"a": ["b"]}})
+            pieces.append({"dependencies": {"a": draw(st.sampled_from(
+                [["b"], {"minProperties": 2}, {"required": ["b"]}]))}})
         if draw(st.booleans()):
             pieces.append({"patternProperties": {
                 "^a": {"minimum": draw(st.integers(-20, 20))}}})
@@ -166,7 +167,8 @@ def cases(draw):
         if draw(st.booleans()):
             pieces.append({"maxProperties": draw(st.integers(0, 3))})
         if draw(st.booleans()):
-            pieces.append({"dependencies": {"a": ["b"]}})
+            pieces.append({"dependencies": {"a": draw(st.sampled_from(
+                [["b"], {"maxProperties": 2}, {"required": ["px"]}]))}})
         if draft6 and draw(st.booleans()):
             pieces.append({"propertyNames": {"maxLength": 1}})
     if draw(st.booleans()):
