@@ -958,21 +958,29 @@ def _object_checks(schema: dict, dtype: T.DataType, ctx: Ctx, path: str) -> list
 
     # ---- propertyNames (draft6, jesse_validator_draft6.erl:114-125,424-436) ----
     if ctx.draft >= DRAFT6 and "propertyNames" in schema:
+        # inner codes propagate: jesse re-enters check_value on each
+        # NAME (jesse_validator_draft6.erl:424-436), so a too-long key
+        # reports wrong_length, not a collapsed not_schema_valid
         sub = schema["propertyNames"]
-        np = compile_pred(sub, T.StringType(), ctx=_child(ctx))
+        name_checks = compile_checks(sub, T.StringType(),
+                                     null_is_absent=False,
+                                     _ctx=_child(ctx), _path="")
         if is_struct:
             # static field names → constant-folded per-field presence check
             for name in dtype.fieldNames():
-                checks.append(Check(
-                    E.NOT_SCHEMA_VALID, path + "/" + name,
-                    lambda c, n=name: _null_skip(
-                        c, ~_present(c, dtype, n) | np(F.lit(n))),
-                    lambda c, n=name: F.lit(n)))
+                for sc in name_checks:
+                    checks.append(Check(
+                        sc.constraint, path + "/" + name + sc.path,
+                        lambda c, n=name, sp=sc.pred: _null_skip(
+                            c, ~_present(c, dtype, n) | sp(F.lit(n))),
+                        lambda c, n=name: F.lit(n)))
         else:
-            checks.append(Check(
-                E.NOT_SCHEMA_VALID, path,
-                lambda c: _null_skip(c, F.forall(F.map_keys(c), lambda k: np(k))),
-                lambda c: _as_str(F.map_keys(c))))
+            for sc in name_checks:
+                checks.append(Check(
+                    sc.constraint, path + "/*" + sc.path,
+                    lambda c, sp=sc.pred: _null_skip(
+                        c, F.forall(F.map_keys(c), lambda k: sp(k))),
+                    lambda c: _as_str(F.map_keys(c))))
 
     # ---- min/maxProperties (D4:1073-1107) ---------------------------------------
     for kw, code, cmp in (("maxProperties", E.TOO_MANY_PROPERTIES, "le"),

@@ -500,11 +500,19 @@ def compile_variant_checks(
                     path=f"/*{sc.path}")
 
     if ctx.draft >= DRAFT6 and "propertyNames" in schema:
-        # names are plain strings → reuse the TYPED string compiler
-        np = compile_pred(schema["propertyNames"], T.StringType(), ctx=_child(ctx))
-        add(E.NOT_SCHEMA_VALID,
-            lambda v: _guard(is_object(v),
-                             F.forall(F.map_keys(as_map(v)), lambda k: np(k))))
+        # names are plain strings → reuse the TYPED string compiler;
+        # inner codes propagate (jesse_validator_draft6.erl:424-436)
+        from jesse_spark.compiler import compile_checks as _typed_checks
+
+        for sc in _typed_checks(schema["propertyNames"], T.StringType(),
+                                null_is_absent=False, _ctx=_child(ctx),
+                                _path=""):
+            add(sc.constraint,
+                (lambda sp: lambda v: _guard(
+                    is_object(v),
+                    F.forall(F.map_keys(as_map(v)), lambda k: sp(k))))(
+                        sc.pred),
+                path=f"/*{sc.path}")
 
     for kw2, code, le in (("maxProperties", E.TOO_MANY_PROPERTIES, True),
                           ("minProperties", E.TOO_FEW_PROPERTIES, False)):

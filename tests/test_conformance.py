@@ -176,7 +176,9 @@ CASES = [
      {"a": 1, "b": 9}, ["not_in_range"]),
     # --- propertyNames (D6:424-436) ---
     ({**D6, "propertyNames": {"maxLength": 3}}, {"ab": 1}, True),
-    ({**D6, "propertyNames": {"maxLength": 3}}, {"abcd": 1}, ["not_schema_valid"]),
+    # propertyNames failures carry the inner keyword's code (jesse
+    # re-enters check_value on each name, draft6:424-436)
+    ({**D6, "propertyNames": {"maxLength": 3}}, {"abcd": 1}, ["wrong_length"]),
     # --- min/maxProperties (D4:1073-1107) ---
     ({**D4, "maxProperties": 1}, {"a": 1, "b": 2}, ["too_many_properties"]),
     ({**D4, "minProperties": 2}, {"a": 1, "b": 2}, True),
