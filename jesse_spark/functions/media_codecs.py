@@ -609,8 +609,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     try:
         return _jpeg_decode_inner(payload)
-    except (struct.error, IndexError) as e:
-        raise ValueError(f"corrupt JPEG: {e}") from e
+    except (struct.error, IndexError, KeyError, StopIteration) as e:
+        # truncated segments, undefined huffman/quant table references,
+        # SOS naming an undeclared component — all parse-time
+        # corruption surfaces as ValueError (decoder convention)
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
 def _jpeg_decode_inner(payload: bytes) -> np.ndarray:

@@ -42,7 +42,6 @@ from jesse_spark.compiler import (
     _validate_pattern,
     _warn_anyof_detail_dropped,
     _warn_ref_unroll,
-    _ANYOF_DETAIL_MAX,
     _REF_EXPANSION_BUDGET,
     Builder,
     Check,
@@ -51,7 +50,6 @@ from jesse_spark.compiler import (
     _format_pred,
     _reduce_and,
     _reduce_or,
-    compile_pred,
 )
 from jesse_spark.errors import ErrorCodes as E
 from jesse_spark.errors import SchemaError

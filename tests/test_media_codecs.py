@@ -328,6 +328,60 @@ def test_jpeg_through_image_decode_and_multimodal():
     assert np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
 
 
+def test_jpeg_corruption_fuzz_only_valueerror():
+    """Random byte-level corruption of a valid stream must surface as
+    ValueError (or decode to SOME array — bit flips in entropy data can
+    still be decodable) — never struct.error/IndexError/KeyError
+    leaking from the marker walk or huffman reader.  Deterministic
+    seeds; the pipeline's per-clip try/except depends on this
+    contract."""
+    rng = np.random.default_rng(17)
+    base = bytearray(mc.jpeg_encode(
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8), 90))
+    for trial in range(200):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(2, len(buf)))
+            if op == 0:                      # flip a byte
+                buf[pos] = int(rng.integers(0, 256))
+            elif op == 1:                    # truncate
+                buf = buf[:pos]
+            else:                            # duplicate a slice
+                end = min(len(buf), pos + int(rng.integers(1, 32)))
+                buf = buf[:end] + buf[pos:end] + buf[end:]
+        try:
+            out = mc.jpeg_decode(bytes(buf))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass    # the documented rejection path
+
+
+def test_png_corruption_fuzz_only_valueerror():
+    """Same contract as the JPEG fuzz: corrupt PNG bytes raise
+    ValueError or decode — no leaked zlib/struct/numpy internals."""
+    rng = np.random.default_rng(29)
+    base = bytearray(mc.png_encode(
+        rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)))
+    for trial in range(200):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(8, max(len(buf), 9)))
+            if op == 0 and pos < len(buf):
+                buf[pos] = int(rng.integers(0, 256))
+            elif op == 1:
+                buf = buf[:pos]
+            else:
+                end = min(len(buf), pos + int(rng.integers(1, 32)))
+                buf = buf[:end] + buf[pos:end] + buf[end:]
+        try:
+            out = mc.png_decode(bytes(buf))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+
+
 def test_jpeg_rejects_malformed():
     with pytest.raises(ValueError, match="SOI"):
         mc.jpeg_decode(b"hello")
