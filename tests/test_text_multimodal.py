@@ -55,6 +55,35 @@ def test_lang_id(texts):
     assert r[3] == "es"
 
 
+def test_with_lang_id_matches_trigram_formulation(spark):
+    """The contains-probe rewrite of with_lang_id must agree with the
+    trigram-intersect column formulation on every row, including ties,
+    empty/short strings, unicode (Cyrillic, multi-byte) and texts where
+    a gram spans a collapsed-whitespace boundary."""
+    from jesse_spark.operators.text import with_lang_id
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog and the cat."),
+        (1, "Der Hund und die Katze spielen in einem der Gärten nicht."),
+        (2, "le chien et le chat jouent dans le jardin de la maison"),
+        (3, "el perro y el gato juegan en el jardín de la casa que"),
+        (4, "При этом не было ого на тест"),
+        (5, ""),
+        (6, "ab"),
+        (7, "x"),
+        (8, "de"),                       # gram "de " only via padding
+        (9, "word\t\nthe   end"),        # \s+ collapse then ' th'/'he '
+        (10, "что-то ничего кого"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in with_lang_id(df, "text").collect()}
+    ref = {r["doc_id"]: r["l"]
+           for r in df.select("doc_id",
+                              lang_id(F.col("text")).alias("l")).collect()}
+    assert got == ref
+
+
 def test_fingerprints(spark):
     df = spark.createDataFrame(
         [(0, "Hello,   World!"), (1, "hello world"), (2, "different text")],
