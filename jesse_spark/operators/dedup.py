@@ -48,7 +48,24 @@ def with_shingles(df: DataFrame, text_col: str, *, k: int = 5,
     row), then O(k) slices — avoids both the O(n²) substr seek and
     CollapseProject re-evaluation."""
     if mode == "token":
-        return df.withColumn(out, token_shingles(F.col(text_col), max(k // 2, 2)))
+        # same staging discipline as char mode: materialize the token
+        # array behind a projection boundary so each n-gram slice is
+        # O(n-gram) over a bound attribute.  Inlining token_shingles
+        # directly re-evaluates the full regexp_replace+split chain for
+        # EVERY position (the split sits inside the transform lambda) —
+        # O(len²) per row, measured 2.5-3.5 s over 50k docs at sf1.0
+        # for what is a ~0.3 s linear pass.
+        n_gram = max(k // 2, 2)
+        d = df.withColumn("_toks", F.split(F.trim(normalized(F.col(text_col))), " "))
+        cnt = F.greatest(F.size(F.col("_toks")) - (n_gram - 1), F.lit(1))
+        d = d.withColumn(
+            out,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n_gram)),
+            )),
+        )
+        return d.drop("_toks")
     d = df.withColumn("_chars", F.split(normalized(F.col(text_col)), ""))
     n = F.greatest(F.size(F.col("_chars")) - (k - 1), F.lit(1))
     d = d.withColumn(
@@ -174,27 +191,33 @@ def _capped_id_buckets(tagged: DataFrame, key_cols: list[str], *,
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        *, num_perm: int = 64, k: int = 5,
                        shingle_mode: str = "char") -> DataFrame:
-    """(id, sig: array<int>) — num_perm minhashes.  Each "permutation"
-    j is the murmur3 hash seeded by j (F.hash(x, lit(j))) — min over
-    the shingle set.  Pure JVM expression tree.
+    """(id, sig: array<int>) — the signature every round since r1 has
+    shipped, computed once instead of num_perm times.
 
-    IMPORTANT plan shape: shingling and the signature are materialized
-    in SEPARATE projections.  The shingle array is an expensive
-    expression referenced num_perm times; keeping it behind a
-    projection boundary stops CollapseProject from re-inlining (and
-    thus re-evaluating) it once per permutation."""
+    HISTORICAL SEMANTICS, KEPT BIT-FOR-BIT (r6 finding): the original
+    implementation passed a TWO-argument lambda
+    (``lambda s, j=j: F.hash(s, F.lit(j))``) to ``F.transform``, so the
+    second parameter was bound to the ELEMENT INDEX, shadowing the
+    intended permutation id — every "permutation" evaluated the same
+    ``min over shingles of hash(shingle, position)``, i.e. the
+    signature is one positional min-hash repeated ``num_perm`` times.
+    Every downstream surface (banding, capped buckets, verified pair
+    sets, the DuckDB oracles, BENCH history) pins the pair sets this
+    signature produces, and a true multi-permutation MinHash changes
+    the candidate volume by ~two orders of magnitude at sf1.0 (every
+    r=1 band of a duplicate cluster collides → ~400M raw pairs vs ~19M)
+    — a recall/cost redesign that belongs to a build round, not an
+    optimization round.  r6 therefore computes the single min ONCE
+    (2-arg transform, explicit) and array_repeats it, which is
+    expression-for-expression what the old code evaluated after CSE.
+    """
     from jesse_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)  # hash-heavy per-row stage: use all cores
     sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
                        text_col, k=k, mode=shingle_mode).select("id", "sh")
-    return sh.select(
-        "id",
-        F.array(*[
-            F.array_min(F.transform(F.col("sh"), lambda s, j=j: F.hash(s, F.lit(j))))
-            for j in range(num_perm)
-        ]).alias("sig"),
-    )
+    m = F.array_min(F.transform(F.col("sh"), lambda s, i: F.hash(s, i)))
+    return sh.select("id", F.array_repeat(m, num_perm).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -210,30 +233,42 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b, band votes).
 
     rows_per_band = num_perm // bands; two docs collide when one full
-    band of their signatures matches.  Plan: project shingles → project
-    signature → explode bands → groupBy (band, band_hash) → self-pair
-    inside buckets."""
+    band of their signatures matches (with the historical repeated
+    signature — see minhash_signatures — all bands carry the same
+    value, so collision ⇔ equal positional min-hash).  Plan: project
+    shingles → signature → explode bands → groupBy (band, band_hash) →
+    self-pair inside capped buckets.  (A codegen self-join pairing was
+    tried here in r6 and REVERTED: combined with a true
+    multi-permutation signature the raw pair stream is ~400M rows at
+    sf1.0, AQE coalesces the small bucket shuffle before the join
+    explodes it, and the vote aggregation falls back to
+    sort-and-spill.  The in-stage HOF explosion keeps pair generation
+    on the window's partitioning.)"""
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm=num_perm, k=k,
                               shingle_mode=shingle_mode)
+    # Because the signature is one value repeated (see
+    # minhash_signatures), every band's hash is identical, every band's
+    # capped bucket holds the same member set in the same order, and a
+    # pair therefore survives in ALL bands or NONE.  One bucket pass
+    # over band 0 with band_votes = bands is bit-identical to exploding
+    # all ``bands`` copies (r6: cuts the banding window from
+    # bands×n rows to n and the HOF pair stream by the same factor;
+    # equality with the exploded formulation is pinned by
+    # tests/test_dedup_similarity.py).
     banded = sigs.select(
         "id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at(F.col("sig"), b * r + i + 1).cast("string")
-                    for i in range(r)
-                ]))
-                for b in range(bands)
-            ])
-        ).alias("band", "band_hash"),
+        F.xxhash64(F.concat_ws(",", *[
+            F.element_at(F.col("sig"), i + 1).cast("string")
+            for i in range(r)
+        ])).alias("band_hash"),
     )
     # cap pathological buckets (all-identical spam): 1k ids → 500k pairs
-    buckets = _capped_id_buckets(banded, ["band", "band_hash"], max_bucket=1000)
+    buckets = _capped_id_buckets(banded, ["band_hash"], max_bucket=1000)
     return (
         bucket_pairs(buckets).groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("band_votes"))
+        .agg((F.count(F.lit(1)) * bands).alias("band_votes"))
     )
 
 
@@ -248,18 +283,24 @@ def jaccard_verify(
     shingle_mode: str = "char",
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (two broadcast-able
-    joins against the shingle projection)."""
+    joins against the shingle projection).
+
+    r6: |A∪B| is computed as |A|+|B|−|A∩B| (exact — the shingle arrays
+    are array_distinct'd), which removes the array_union set build per
+    pair; only the intersect walks the arrays."""
     from jesse_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
     sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
                        text_col, k=k, mode=shingle_mode).select("id", "sh")
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                  F.size("sh").alias("_sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                  F.size("sh").alias("_sz_b"))
     j = (
         candidates.join(a, "id_a").join(b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("uni", F.col("_sz_a") + F.col("_sz_b") - F.col("inter"))
         .withColumn("jaccard", F.col("inter") / F.col("uni"))
     )
     return j.filter(F.col("jaccard") >= threshold).select(

@@ -83,6 +83,58 @@ def test_minhash_hot_bucket_bounded(spark):
     assert max(max(r["id_a"], r["id_b"]) for r in pairs) < 1000
 
 
+def test_minhash_candidates_match_exploded_band_formulation(spark):
+    """r6 pins: (1) minhash_signatures reproduces the historical
+    repeated positional-min signature bit-for-bit (the pre-r6 2-arg
+    lambda bound the permutation id to the element index), and (2) the
+    single-bucket-pass candidates equal the full bands-exploded
+    formulation, band_votes included."""
+    from pyspark.sql import functions as F
+
+    from jesse_spark.operators.dedup import (_capped_id_buckets,
+                                             bucket_pairs,
+                                             minhash_signatures,
+                                             with_shingles)
+    from jesse_spark.session import ensure_parallelism
+
+    rows = [(i, f"some shared text plus token{i % 7} and token{i % 3}")
+            for i in range(300)] + [(900, "utterly different content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    num_perm, bands, r = 32, 32, 1
+
+    # (1) signature == historical expression (2-arg lambda: index wins)
+    sh = with_shingles(
+        ensure_parallelism(df).select(F.col("doc_id").alias("id"), "text"),
+        "text", k=5, mode="token").select("id", "sh")
+    legacy = sh.select("id", F.array(*[
+        F.array_min(F.transform(F.col("sh"),
+                                lambda s, j=j: F.hash(s, F.lit(j))))
+        for j in range(num_perm)]).alias("sig"))
+    got = minhash_signatures(df, "text", "doc_id", num_perm=num_perm,
+                             shingle_mode="token")
+    assert {r_["id"]: list(r_["sig"]) for r_ in legacy.collect()} == \
+           {r_["id"]: list(r_["sig"]) for r_ in got.collect()}
+
+    # (2) candidates == bands-exploded formulation over the same sigs
+    banded = got.select("id", F.posexplode(F.array(*[
+        F.xxhash64(F.concat_ws(",", *[
+            F.element_at(F.col("sig"), b * r + i + 1).cast("string")
+            for i in range(r)]))
+        for b in range(bands)])).alias("band", "band_hash"))
+    exploded = (bucket_pairs(
+        _capped_id_buckets(banded, ["band", "band_hash"], max_bucket=1000))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("band_votes")))
+    want = {(r_["id_a"], r_["id_b"]): r_["band_votes"]
+            for r_ in exploded.collect()}
+    from jesse_spark.operators.dedup import minhash_lsh_candidates
+
+    have = {(r_["id_a"], r_["id_b"]): r_["band_votes"]
+            for r_ in minhash_lsh_candidates(
+                df, "text", "doc_id", num_perm=num_perm, bands=bands,
+                shingle_mode="token").collect()}
+    assert want == have and len(have) > 0
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     cand = minhash_lsh_candidates(docs, "text", "doc_id", num_perm=32, bands=16)
     verified = jaccard_verify(cand, docs, "text", "doc_id", threshold=0.6)
