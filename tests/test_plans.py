@@ -59,11 +59,14 @@ def test_ri_semi_count_broadcasts_dim_side(spark, queries):
 
 
 def test_embedding_near_dups_single_broadcast_tensor(spark, queries):
-    # exactly ONE BroadcastNestedLoopJoin: the 1-row plane-tensor
-    # broadcast (dedup.py hyperplane_buckets) — any other nested-loop
-    # or cartesian join means an all-pairs explosion at scale
+    # r6: the sign-bit signatures run as ONE Arrow-batched numpy matmul
+    # (ArrowEvalPython) with the plane tensor in the UDF closure — the
+    # 1-row plane-tensor broadcast (and its BroadcastNestedLoopJoin)
+    # is gone; any nested-loop or cartesian join would mean an
+    # all-pairs explosion at scale
     p = _plan(spark, queries, "embedding_near_dups")
-    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "ArrowEvalPython" in p, "vectorized signature stage missing"
+    assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Window" in p, "capped bucket pre-agg (row_number) missing"
     assert p.count("Exchange") <= 8
