@@ -294,9 +294,17 @@ def q_quality_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     stop = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # alpha count via translate: regexp_count pays per MATCH (a
+    # Matcher.find round trip per alpha char ≈ most of the string);
+    # length-delta over translate is one pass.  The punct class keeps
+    # regexp_count — few matches, and translate would build a new
+    # string.  Counts proven equal (r6: 0 mismatches over sf1.0).
+    alpha = F.length(F.col("text")) - F.length(
+        F.translate(F.col("text"),
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", ""))
     return d.select(
         "doc_id",
-        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]")).cast("bigint").alias("alpha_chars"),
+        alpha.cast("bigint").alias("alpha_chars"),
         F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("bigint").alias("punct_chars"),
         F.size(F.filter(toks, lambda w: w.isin(*stop))).cast("bigint").alias("stop_tokens"),
     )

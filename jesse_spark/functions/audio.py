@@ -287,17 +287,33 @@ def with_audio_checks(df, *, clip_id="clip_id", bytes_col="bytes",
 
 def audio_violations(checked, key_cols=("clip_id",)):
     """external-check violations in jesse's error-row shape
-    (constraint code 'external' — jesse_schema_validator.hrl:149)."""
-    bad_audio = checked.filter(~F.col("audio_check.audio_ok")).select(
-        *key_cols,
-        F.lit("external").alias("constraint"),
-        F.lit("/bytes").alias("path"),
-        F.concat(F.lit("snr_db="), F.col("audio_check.snr_db").cast("string")).alias("observed"),
+    (constraint code 'external' — jesse_schema_validator.hrl:149).
+
+    ONE pass over ``checked``: both failure kinds are collected into a
+    per-row array and exploded.  The previous union of two filtered
+    branches duplicated the ``checked`` subtree — and with it the
+    decode/SNR Arrow UDF stage — in the physical plan (r6: the audio
+    stage ran twice, ~2x its wall)."""
+    viol = F.array_compact(F.array(
+        F.when(
+            ~F.col("audio_check.audio_ok"),
+            F.struct(
+                F.lit("external").alias("constraint"),
+                F.lit("/bytes").alias("path"),
+                F.concat(F.lit("snr_db="),
+                         F.col("audio_check.snr_db").cast("string"))
+                .alias("observed"),
+            )),
+        F.when(
+            ~F.col("audio_check.transcript_ok"),
+            F.struct(
+                F.lit("external").alias("constraint"),
+                F.lit("/transcript").alias("path"),
+                F.coalesce(F.col("transcript"), F.lit("null"))
+                .alias("observed"),
+            )),
+    ))
+    return (
+        checked.select(*key_cols, F.explode(viol).alias("_v"))
+        .select(*key_cols, "_v.constraint", "_v.path", "_v.observed")
     )
-    bad_tr = checked.filter(~F.col("audio_check.transcript_ok")).select(
-        *key_cols,
-        F.lit("external").alias("constraint"),
-        F.lit("/transcript").alias("path"),
-        F.coalesce(F.col("transcript"), F.lit("null")).alias("observed"),
-    )
-    return bad_audio.unionByName(bad_tr)

@@ -85,7 +85,16 @@ def run_full_suite(
     inst = F.struct(*[F.col(c) for c in data_cols])
     checks = compile_checks(schema, data_type, null_is_absent=True,
                             **(compile_opts or {}))
-    validated = with_violations(clips, checks, instance=inst)
+    # build each check's predicate Column ONCE; the violations array
+    # and the audio stage's fail-fast conjunction share the list
+    # (rebuilding them through py4j cost ~0.5 s of driver time per
+    # suite plan — guide §1, measured r6)
+    from jesse_spark.plans.validate import check_preds, violations_array
+
+    preds = check_preds(checks, inst)
+    validated = (clips.withColumn(
+        "violations", violations_array(checks, inst, preds))
+        .withColumn("valid", F.size("violations") == 0))
 
     narrow = validated.drop("bytes")
     if persist:
@@ -98,7 +107,7 @@ def run_full_suite(
         from jesse_spark.plans.validate import fail_fast_pred
 
         passing = clips.filter(
-            fail_fast_pred(checks, inst)
+            fail_fast_pred(checks, inst, preds)
         ).select("clip_id", "bytes", "codec", "sr_hz", "transcript")
         checked = with_audio_checks(passing)
         parts.append(audio_violations(checked).select(*VIOLATION_COLS))

@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # per-call Python stack capture for error context costs 2 py4j
+        # round trips + a frame walk on EVERY DataFrame/Column call —
+        # ~15-20% of driver-side plan-construction time for the
+        # compiled constraint suites (guide §1: measure first; profiled
+        # in r6).  Debug contexts can be re-enabled ad hoc.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
