@@ -626,9 +626,18 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # legal optional fill bytes: any number of 0xFF may pad before
+        # the marker code (ITU T.81 §B.1.1.2)
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM / RSTn outside a scan) carry no
+            # length field
+            pos += 2
+            continue
         (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + ln]
         pos += 2 + ln
@@ -656,8 +665,14 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit JPEG supported")
             for ci in range(nc):
                 cid, sf, tq = body[6 + ci * 3:9 + ci * 3]
-                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF,
-                              "tq": tq})
+                ch, cv = sf >> 4, sf & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    # T.81 §B.2.2 bounds; a zero factor would divide by
+                    # zero in the MCU-grid math, leaking a
+                    # ZeroDivisionError past the ValueError contract
+                    raise ValueError(
+                        f"bad SOF sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline (SOF0/SOF1) JPEG supported")

@@ -219,8 +219,10 @@ def _gen_media_row(i: int) -> tuple:
 
 def media_df(spark: SparkSession, n: int, *, partitions: int | None = None) -> DataFrame:
     """Distributed deterministic media table (BMP/PPM/PNG/JPEG images,
-    Y4M videos, WAV audio — every payload a REAL container; JPEG
-    alternates 4:4:4 / 4:2:0)."""
+    Y4M videos, WAV audio — every payload a REAL container).  JPEG rows
+    land on odd ids (i % 6 == 3), so ``subsample=bool(i % 2)`` is
+    always True: every fixture JPEG is 4:2:0 (the 4:4:4 decode path is
+    covered by unit tests directly — ADVICE r5)."""
     from jesse_spark.operators.multimodal import MEDIA_SCHEMA
 
     rng_range = spark.range(0, n, 1, partitions) if partitions else spark.range(n)

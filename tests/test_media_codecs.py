@@ -395,6 +395,34 @@ def test_jpeg_rejects_malformed():
         mc.jpeg_decode(full[:sos + 14])
 
 
+def test_jpeg_zero_sampling_factor_is_valueerror():
+    """ADVICE r5 (medium): a flipped SOF sampling-factor byte must
+    surface as ValueError, not leak ZeroDivisionError out of the
+    MCU-grid math."""
+    full = bytearray(mc.jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = bytes(full).index(b"\xff\xc0")
+    # component 0 sampling byte: SOF body = prec(1) h(2) w(2) nc(1),
+    # then per component id, sampling, tq
+    full[sof + 4 + 6 + 1] = 0x00
+    with pytest.raises(ValueError, match="sampling"):
+        mc.jpeg_decode(bytes(full))
+
+
+def test_jpeg_fill_bytes_and_standalone_markers_accepted():
+    """ADVICE r5 (low): optional 0xFF fill bytes before a marker code
+    and standalone TEM markers are legal (T.81 §B.1.1.2) and must not
+    abort the marker walk."""
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    full = mc.jpeg_encode(img)
+    ref = mc.jpeg_decode(full)
+    # inject a fill byte + a TEM marker right after SOI
+    padded = full[:2] + b"\xff" + full[2:]          # ff d8 ff ff db ...
+    with_tem = full[:2] + b"\xff\x01" + full[2:]    # ff d8 ff 01 ff db ...
+    for variant in (padded, with_tem):
+        out = mc.jpeg_decode(variant)
+        assert out.shape == ref.shape and np.array_equal(out, ref)
+
+
 def test_png_corrupt_raises_valueerror_not_internal():
     """Corrupt input surfaces as ValueError per the BMP/PPM decoder
     convention — never struct.error (truncated IHDR body) or zlib.error
