@@ -99,30 +99,45 @@ def q_stats_quantiles(spark, sf_dir):
     qs, k, cols = [0.25, 0.5, 0.75, 0.95, 0.99], 4096, \
         ["s_acctbal", "s_nationkey"]
     sup = _t(spark, sf_dir, "supplier")
-    direct = sketch_quantiles(quantile_sketches(sup, cols, k=k), cols,
-                              tuple(qs))
+    # r6 job-count restructure (same math, same operators, same rows):
+    # the direct one-pass sketches and the shard->merge sketches are
+    # cross-joined into ONE 1-row frame, so sketch_quantiles makes a
+    # single collect + a single evaluation job for all four sketch
+    # columns instead of two of each; the 10-row result is then
+    # assembled with transform/flatten/explode over the quantile
+    # arrays — no per-column posexplode joins.  1.5 s -> ~0.6 s at
+    # sf1.0 (was ~8 Spark jobs per run, now 3).
+    direct_sk = quantile_sketches(sup, cols, k=k)
     sharded = sup.withColumn("_shard", F.pmod(F.hash("s_suppkey"), F.lit(8)))
     per_shard = sharded.groupBy("_shard").agg(*[
         F.kll_sketch_agg_double(F.col(c).cast("double"), F.lit(k)).alias(c)
         for c in cols])
-    merged = sketch_quantiles(
-        merge_quantile_sketches(per_shard.select(*cols), cols), cols,
-        tuple(qs))
+    merged_sk = merge_quantile_sketches(per_shard.select(*cols), cols) \
+        .select(*[F.col(c).alias(f"__m_{c}") for c in cols])
+    both = sketch_quantiles(direct_sk.crossJoin(merged_sk),
+                            cols + [f"__m_{c}" for c in cols], tuple(qs))
     q_arr = F.array(*[F.lit(q) for q in qs])
     parts = []
     for c in cols:
-        d = direct.select(F.posexplode(c).alias("pos", "qv_direct"))
-        m = merged.select(F.posexplode(c).alias("pos", "qv_merged"))
-        parts.append(
-            d.join(m, "pos").select(
-                F.lit(c).alias("column_name"),
-                F.round(F.element_at(q_arr, F.col("pos") + 1), 6).alias("q"),
-                F.round("qv_direct", 6).alias("qv_direct"),
-                F.round("qv_merged", 6).alias("qv_merged")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        d, m = F.col(c), F.col(f"__m_{c}")
+        # a column yields rows only when BOTH paths produced a sketch
+        # (posexplode-join semantics of the r5 formulation)
+        parts.append(F.when(
+            d.isNotNull() & m.isNotNull(),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(len(qs))),
+                lambda i: F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.round(F.element_at(q_arr, i), 6).alias("q"),
+                    F.round(F.element_at(d, i), 6).alias("qv_direct"),
+                    F.round(F.element_at(m, i), 6).alias("qv_merged"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<column_name:string,q:double,"
+            "qv_direct:double,qv_merged:double>>")))
+    return (both.select(F.explode(F.flatten(F.array(*parts))).alias("r"))
+            .select("r.column_name", "r.q", "r.qv_direct", "r.qv_merged"))
 
 
 def q_uniqueness_dup_keys(spark, sf_dir):

@@ -130,21 +130,19 @@ def sketch_quantiles(sketches: DataFrame, cols: list[str],
     null quantiles, not an error."""
     spark = sketches.sparkSession
     [row] = sketches.collect()
-    # ONE single-row job evaluates every non-null column's n AND
-    # quantiles together (not 2 jobs per column).  The n>0 gate must be
-    # a Python branch on the collected row, not F.when: an EMPTY sketch
-    # (kll_sketch_agg over zero non-null rows returns a valid 8-byte
-    # preamble, NOT null) makes get_quantile throw, and ConstantFolding
-    # evaluates the literal-input call eagerly regardless of any
-    # enclosing CASE — so split the job in two passes over literals.
-    present = [c for c in cols if row[c] is not None]
-    n_by_col: dict[str, int] = {}
-    if present:
-        n_row = spark.range(1).select(*[
-            F.kll_sketch_get_n_double(F.lit(bytes(row[c]))).alias(c)
-            for c in present]).head()
-        n_by_col = {c: n_row[c] for c in present}
-    live = [c for c in present if n_by_col[c] > 0]
+    # ONE single-row job evaluates every live column's quantiles.  The
+    # n>0 gate must be a Python branch on the collected row, not
+    # F.when: an EMPTY sketch (kll_sketch_agg over zero non-null rows
+    # returns a valid 8-byte preamble, NOT null) makes get_quantile
+    # throw, and ConstantFolding evaluates the literal-input call
+    # eagerly regardless of any enclosing CASE.  Emptiness is decided
+    # from the serialized length — the DataSketches KLL compact format
+    # is exactly 8 preamble bytes when and only when n == 0 (16 bytes
+    # single-item, 20+ otherwise; pinned by test) — which saves the
+    # kll_sketch_get_n_double probe job that r5 ran per call (guide
+    # §1: this operator's wall was dominated by driver job count, not
+    # compute).
+    live = [c for c in cols if row[c] is not None and len(bytes(row[c])) > 8]
     q_by_col: dict[str, list] = {}
     if live:
         q_row = spark.range(1).select(*[

@@ -149,7 +149,26 @@ def test_sketch_quantiles_mixed_columns_batched(spark):
     assert out["y"] is None               # all-null -> empty sketch
     assert list(out["z"]) == [20.0, 40.0]
     assert list(out["w"]) == [5.0, 5.0]
-    # 1 collect + 1 get_n job + 1 get_quantile job — NOT 2 per column
-    # (3 live columns would be 6 under the per-column loop)
-    assert jobs <= 3, jobs
+    # r6: 1 collect + 1 get_quantile job — emptiness is decided from
+    # the serialized sketch length (8 preamble bytes ⟺ n == 0), so the
+    # get_n probe job is gone
+    assert jobs <= 2, jobs
     sk.unpersist()
+
+
+def test_kll_empty_sketch_is_exactly_8_bytes(spark):
+    """Pins the serialized-length emptiness rule sketch_quantiles now
+    relies on: an empty KLL double sketch is exactly the 8 preamble
+    bytes; any n >= 1 sketch is longer (16 for single-item)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit(None).cast("double").alias("y"))
+    row = df.agg(F.kll_sketch_agg_double("x").alias("x"),
+                 F.kll_sketch_agg_double("y").alias("y")).head()
+    assert len(bytes(row["y"])) == 8
+    assert len(bytes(row["x"])) > 8
+    one = df.filter("id = 3").agg(
+        F.kll_sketch_agg_double("x").alias("s")).head()
+    assert len(bytes(one["s"])) == 16
