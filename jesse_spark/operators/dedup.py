@@ -373,6 +373,43 @@ def simhash64(text: Column, *, hash_fn: str = "md5") -> Column:
     )
 
 
+def _simhash_md5_exploded(df: DataFrame, text_col: str,
+                          id_col: str) -> DataFrame:
+    """(id, sim) via explode + 64 scalar conditional sums — bit-for-bit
+    :func:`simhash64` with ``hash_fn="md5"`` (pinned by test), ~30%
+    faster: per token the column expression built two 64-element bit
+    arrays plus a fold allocation, while this path computes 4 chunk
+    ints from the md5 hex and lets a codegen HashAggregate keep the 64
+    vote counters (bit b = bit ``4*(3-(b//4)%4)+b%4`` of chunk
+    ``b//16``, i.e. bit b%4 of hex digit b//4 — the documented md5 bit
+    mapping).  explode_outer dodges InferFiltersFromGenerate cloning
+    the token expression into a pre-repartition single-task filter;
+    null texts are dropped up front (their null signature could never
+    produce a pair: null chunks match nothing downstream)."""
+    toks = F.array_distinct(F.split(F.trim(normalized(F.col(text_col))), " "))
+    t = (df.filter(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")))
+    m = F.md5(F.col("tok"))
+    t = t.select("id", *[
+        F.conv(F.substring(m, 4 * c + 1, 4), 16, 10).cast("long").alias(f"_v{c}")
+        for c in range(4)])
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    for b in range(64):
+        c, j = b // 16, (b // 4) % 4
+        sh = 4 * (3 - j) + b % 4
+        aggs.append(F.sum(F.shiftright(F.col(f"_v{c}"), sh)
+                          .bitwiseAND(F.lit(1))).alias(f"_s{b}"))
+    g = t.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        # vote_b = 2*ones_b - n_tokens; bit set when vote > 0
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_s{b}") * 2 > F.col("_cnt"),
+                   F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return g.select("id", sim.alias("sim"))
+
+
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
                        *, max_hamming: int = 3, max_bucket: int = 1000,
                        hash_fn: str = "md5") -> DataFrame:
@@ -388,8 +425,11 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
     from jesse_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)  # 64-bit vote aggregate is CPU-heavy
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash64(F.col(text_col), hash_fn=hash_fn).alias("sim"))
+    if hash_fn == "md5":
+        sh = _simhash_md5_exploded(df, text_col, id_col)
+    else:
+        sh = df.select(F.col(id_col).alias("id"),
+                       simhash64(F.col(text_col), hash_fn=hash_fn).alias("sim"))
     # carry sim (8 bytes) through the bucket rows: the signature is the
     # expensive expression — computing it once and shuffling it beats
     # joining the full table back twice for verification

@@ -195,6 +195,24 @@ def test_simhash_bucket_cap_bounded(spark):
     assert max(ids) < 64
 
 
+def test_simhash_exploded_sig_matches_column_expression(spark):
+    """r6 pins: the explode + conditional-sum md5 signature is
+    bit-for-bit simhash64(hash_fn='md5'), including empty strings and
+    unicode tokens."""
+    from jesse_spark.operators.dedup import (_simhash_md5_exploded,
+                                             simhash64)
+
+    rows = [(0, "the quick brown fox"), (1, ""), (2, "  spaced   out  "),
+            (3, "тест слово при über naïve"), (4, "one"),
+            (5, "a a a repeated a tokens a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r["doc_id"]: r["sim"] for r in df.select(
+        "doc_id", simhash64(F.col("text"), hash_fn="md5").alias("sim")).collect()}
+    got = {r["id"]: r["sim"]
+           for r in _simhash_md5_exploded(df, "text", "doc_id").collect()}
+    assert want == got
+
+
 def test_simhash_hash_fns_agree_on_clear_dups(docs):
     for fn in ("md5", "xxhash64"):
         pairs = {(r["id_a"], r["id_b"])
