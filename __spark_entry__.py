@@ -67,7 +67,11 @@ def q_stats_single_pass(spark, sf_dir):
     from jesse_spark.operators.stats import column_stats
 
     li = _t(spark, sf_dir, "lineitem")
-    s = column_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    # metrics subset: the stack() unpivot blocks column pruning, so
+    # without it the pass also builds KLL sketches + HLL registers per
+    # row that this query never reads (r6; outputs unchanged)
+    s = column_stats(li, ["l_quantity", "l_extendedprice", "l_discount"],
+                     metrics=("non_null", "null_rate", "min", "max", "mean"))
     return s.select(
         F.col("column").alias("column_name"),
         F.col("non_null").cast("bigint").alias("non_null"),

@@ -46,6 +46,10 @@ def _quantile_agg(c: str, quantiles, accuracy: int, sketch: str):
                                accuracy)
 
 
+ALL_METRICS = ("rows", "non_null", "null_rate", "approx_distinct",
+               "min", "max", "mean", "quantiles")
+
+
 def column_stats(
     df: DataFrame,
     cols: list[str] | None = None,
@@ -53,6 +57,7 @@ def column_stats(
     quantiles: tuple[float, ...] = DEFAULT_QUANTILES,
     accuracy: int = 10000,
     sketch: str = "kll",
+    metrics: tuple[str, ...] = ALL_METRICS,
 ) -> DataFrame:
     """Long-format stats: one output row per column, computed in a
     single aggregate pass (the stack() unpivot runs on the 1-row agg
@@ -60,35 +65,47 @@ def column_stats(
     "kll" (DataSketches KLL, mergeable, the north-star algorithm) or
     "gk" (percentile_approx); ``accuracy`` applies to "gk" only — KLL
     precision is governed by the sketch's k (see
-    :func:`quantile_sketches`)."""
+    :func:`quantile_sketches`).
+
+    ``metrics`` selects which statistics to compute (and which columns
+    the output carries, in ALL_METRICS order).  Catalyst cannot prune
+    through the stack() unpivot, so a caller that only reads min/max/
+    mean would otherwise still pay for the KLL sketch and HLL
+    registers on every row — ~60% of this aggregation's per-row work
+    (r6, guide §1.2: don't compute what you throw away)."""
+    unknown = set(metrics) - set(ALL_METRICS)
+    if unknown:
+        raise ValueError(f"unknown metrics {sorted(unknown)}")
+    metrics = tuple(m for m in ALL_METRICS if m in set(metrics))
     types = dict((f.name, f.dataType) for f in df.schema.fields)
     cols = cols or [c for c in df.columns]
     aggs = []
     for c in cols:
         is_num = isinstance(types[c], _NUMERIC)
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            F.count(F.col(c)).alias(f"{c}__non_null"),
-            F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__null_rate"),
-            F.approx_count_distinct(F.col(c)).alias(f"{c}__approx_distinct"),
-            (F.min(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__min"),
-            (F.max(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__max"),
-            (F.avg(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__mean"),
-            (_quantile_agg(c, quantiles, accuracy, sketch)
-             if is_num else F.lit(None).cast("array<double>")).alias(f"{c}__quantiles"),
-        ]
+        builders = {
+            "rows": lambda c=c: F.count(F.lit(1)),
+            "non_null": lambda c=c: F.count(F.col(c)),
+            "null_rate": lambda c=c: F.avg(F.col(c).isNull().cast("double")),
+            "approx_distinct": lambda c=c: F.approx_count_distinct(F.col(c)),
+            "min": lambda c=c, n=is_num: (
+                F.min(F.col(c).cast("double")) if n else F.lit(None).cast("double")),
+            "max": lambda c=c, n=is_num: (
+                F.max(F.col(c).cast("double")) if n else F.lit(None).cast("double")),
+            "mean": lambda c=c, n=is_num: (
+                F.avg(F.col(c).cast("double")) if n else F.lit(None).cast("double")),
+            "quantiles": lambda c=c, n=is_num: (
+                _quantile_agg(c, quantiles, accuracy, sketch)
+                if n else F.lit(None).cast("array<double>")),
+        }
+        aggs += [builders[m]().alias(f"{c}__{m}") for m in metrics]
     one = df.agg(*aggs)
-    stack_parts = []
-    for c in cols:
-        stack_parts.append(
-            f"'{c}', `{c}__rows`, `{c}__non_null`, `{c}__null_rate`, "
-            f"`{c}__approx_distinct`, `{c}__min`, `{c}__max`, `{c}__mean`, `{c}__quantiles`"
-        )
-    n = len(cols)
+    stack_parts = [
+        f"'{c}', " + ", ".join(f"`{c}__{m}`" for m in metrics)
+        for c in cols
+    ]
     expr = (
-        f"stack({n}, " + ", ".join(stack_parts) +
-        ") as (column, rows, non_null, null_rate, approx_distinct, "
-        "min, max, mean, quantiles)"
+        f"stack({len(cols)}, " + ", ".join(stack_parts) +
+        ") as (column, " + ", ".join(metrics) + ")"
     )
     return one.selectExpr(expr)
 
