@@ -186,7 +186,10 @@ def q_ri_semi_count(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    return ri_valid(li, "l_orderkey", o, "o_orderkey", broadcast_ref=False).agg(
+    # distinct_ref=False: o_orderkey is the orders PK, so the semi join
+    # needs no pre-dedup shuffle of the reference side (r6)
+    return ri_valid(li, "l_orderkey", o, "o_orderkey", broadcast_ref=False,
+                    distinct_ref=False).agg(
         F.count(F.lit(1)).cast("bigint").alias("valid_rows"))
 
 

@@ -19,10 +19,18 @@ def _maybe_broadcast(ref: DataFrame, broadcast_ref: bool) -> DataFrame:
 
 
 def ri_valid(df: DataFrame, key: str, ref: DataFrame, ref_key: str | None = None,
-             *, broadcast_ref: bool = True) -> DataFrame:
+             *, broadcast_ref: bool = True,
+             distinct_ref: bool = True) -> DataFrame:
+    """``distinct_ref=False`` skips the pre-dedup shuffle of the
+    reference keys — semantically free for a semi join (EXISTS), and
+    the right call when the ref key is a primary key: the dedup only
+    pays off when the reference side carries many duplicate keys into
+    a shuffled join (r6)."""
     ref_key = ref_key or key
-    r = _maybe_broadcast(ref.select(F.col(ref_key).alias(key)).distinct(), broadcast_ref)
-    return df.join(r, on=key, how="left_semi")
+    r = ref.select(F.col(ref_key).alias(key))
+    if distinct_ref:
+        r = r.distinct()
+    return df.join(_maybe_broadcast(r, broadcast_ref), on=key, how="left_semi")
 
 
 def ri_violations(df: DataFrame, key: str, ref: DataFrame, ref_key: str | None = None,
