@@ -285,18 +285,30 @@ def jaccard_verify(
     """Exact shingle-Jaccard on candidate pairs only (two broadcast-able
     joins against the shingle projection).
 
-    r6: |A∪B| is computed as |A|+|B|−|A∩B| (exact — the shingle arrays
-    are array_distinct'd), which removes the array_union set build per
-    pair; only the intersect walks the arrays."""
+    r6, two per-pair cost cuts:
+    - |A∪B| is computed as |A|+|B|−|A∩B| (exact — the shingle arrays
+      are array_distinct'd), removing the array_union set build;
+    - the intersect runs over xxhash64'd shingles (array<long>), not
+      the strings: long equality/hashing beats per-element UTF8String
+      work and the joined rows carry ~8 bytes per shingle instead of
+      the text.  Jaccard is a count ratio, so the value is unchanged
+      unless two DISTINCT shingles of one pair collide in 64 bits
+      (p ≈ n²/2·2⁻⁶⁴ ≈ 1e-16 per pair; output equality with the
+      string-set formulation is verified against the DuckDB oracle on
+      every correctness SF and pinned old-vs-new at sf1.0)."""
     from jesse_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
     sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
                        text_col, k=k, mode=shingle_mode).select("id", "sh")
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                  F.size("sh").alias("_sz_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                  F.size("sh").alias("_sz_b"))
+    shh = sh.select(
+        "id",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
+        F.size("sh").alias("sz"))
+    a = shh.select(F.col("id").alias("id_a"), F.col("shh").alias("sh_a"),
+                   F.col("sz").alias("_sz_a"))
+    b = shh.select(F.col("id").alias("id_b"), F.col("shh").alias("sh_b"),
+                   F.col("sz").alias("_sz_b"))
     j = (
         candidates.join(a, "id_a").join(b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
