@@ -303,7 +303,11 @@ def q_contains_token(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from jesse_spark.session import ensure_parallelism
+
+    # single-row-group parquet → 1 scan task; the per-row regex work
+    # must spread across cores (r6; no-op when the scan splits)
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("ws_tokens"),
@@ -313,27 +317,37 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_quality_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from jesse_spark.session import ensure_parallelism
+
+    # same single-scan-task consideration as q_token_counts (r6)
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     stop = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    # alpha count via translate: regexp_count pays per MATCH (a
-    # Matcher.find round trip per alpha char ≈ most of the string);
-    # length-delta over translate is one pass.  The punct class keeps
-    # regexp_count — few matches, and translate would build a new
-    # string.  Counts proven equal (r6: 0 mismatches over sf1.0).
+    # both char-class counts via translate: regexp_count compiles to
+    # size(regexp_extract_all(...)) — it MATERIALIZES every match as a
+    # string — while a length-delta over translate is one pass with no
+    # allocation (interleaved A/B at sf1.0: 1.8 s vs 0.3 s for this
+    # projection).  punct = length - |alnum+ws chars| over the ASCII
+    # lists, exactly the [^A-Za-z0-9\s] complement.  Counts proven
+    # equal (r6: 0 mismatches over sf1.0; oracle ×3 SFs).
+    ascii_alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
     alpha = F.length(F.col("text")) - F.length(
-        F.translate(F.col("text"),
-                    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", ""))
+        F.translate(F.col("text"), ascii_alpha, ""))
+    punct = F.length(F.translate(
+        F.col("text"), ascii_alpha + "0123456789 \t\n\x0b\f\r", ""))
     return d.select(
         "doc_id",
         alpha.cast("bigint").alias("alpha_chars"),
-        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("bigint").alias("punct_chars"),
+        punct.cast("bigint").alias("punct_chars"),
         F.size(F.filter(toks, lambda w: w.isin(*stop))).cast("bigint").alias("stop_tokens"),
     )
 
 
 def q_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from jesse_spark.session import ensure_parallelism
+
+    # same single-scan-task consideration as q_token_counts (r6)
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", "")).alias("fp"),

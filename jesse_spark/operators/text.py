@@ -54,14 +54,22 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     NON-ASCII letter ranges only (rare matches, so the Matcher.find
     loop is cheap).  Sum proven equal to the single-class
     regexp_count (0 mismatches over sf1.0; ranges are disjoint).  The
-    punct class keeps regexp_count: few matches, and translate would
-    build a new string per row."""
+    punct class [^\w\s] is the complement of ASCII [A-Za-z0-9_] + the
+    six \s chars, so it is also a translate length-delta — Spark's
+    regexp_count compiles to size(regexp_extract_all(...)), which
+    materializes every match (r6 A/B: 6x slower than translate)."""
+    from jesse_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)  # regex/ratio per-row work: all cores
     t = F.col(text_col)
     n_chars = F.length(t)
     n_alpha = F.coalesce(
         (n_chars - F.length(F.translate(t, _ASCII_ALPHA, "")))
         + F.regexp_count(t, F.lit(r"[À-ɏЀ-ӿ一-鿿]")), F.lit(0))
-    n_punct = F.coalesce(F.regexp_count(t, F.lit(r"[^\w\s]")), F.lit(0))
+    # remaining length AFTER deleting word+space chars == |[^\w\s]|
+    n_punct = F.coalesce(
+        F.length(F.translate(
+            t, _ASCII_ALPHA + "0123456789_ \t\n\x0b\f\r", "")), F.lit(0))
     # one regex split per row, staged behind a projection boundary:
     # token count and the stopword filter both read _toks (lowering
     # never changes whitespace structure, so size(split(lower(trim)))
