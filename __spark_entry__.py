@@ -288,7 +288,12 @@ def q_dedup_keep_first(spark, sf_dir):
 
 
 def q_unique_tokens(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from jesse_spark.session import ensure_parallelism
+
+    # same single-scan-task consideration as q_token_counts (r6);
+    # contains_token and window_agg were A/B'd too and LOSE with a
+    # repartition (filter/agg-bound) — left on the plain scan
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
