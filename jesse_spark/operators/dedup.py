@@ -185,6 +185,39 @@ def _capped_id_buckets(tagged: DataFrame, key_cols: list[str], *,
     )
 
 
+def capped_bucket_pairs(tagged: DataFrame, key_cols: list[str], *,
+                        max_bucket: int) -> DataFrame:
+    """Ordered (id_a < id_b) pairs of ids sharing a bucket key, capped
+    at ``max_bucket`` members per bucket — the codegen formulation of
+    ``bucket_pairs(_capped_id_buckets(...))``.
+
+    Same cap discipline (row_number window ordered by id keeps the
+    deterministic min-id survivors), but pairs come from a within-bucket
+    self-join with ``id_a < id_b`` instead of collect_list + nested
+    transform/explode: the pair loop runs in whole-stage codegen rather
+    than interpreted HOF lambdas, and the collect_list aggregation
+    buffer disappears.  SHUFFLE_MERGE hint: spillable, never broadcast
+    (bucket membership scales with the corpus).  Pair-set equality with
+    the exploded formulation is pinned by tests/test_dedup_similarity.py
+    and was verified at 735k (minhash, sf1.0) and 14.3M (hyperplane,
+    10x-duplicated corpus) pair volumes — at the 14.3M volume this is
+    ~2.4x faster; the ~400M-pair regime where AQE-coalesced SMJ pairing
+    degenerated (see minhash_lsh_candidates) only arises with a true
+    multi-permutation signature, which no caller ships."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("id")
+    capped = tagged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_bucket).drop("_rn")
+    x = capped.select(*key_cols, F.col("id").alias("id_a"))
+    y = capped.select(*key_cols, F.col("id").alias("id_b"))
+    return (
+        x.hint("SHUFFLE_MERGE").join(y, key_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. MinHash + LSH banding
 # ---------------------------------------------------------------------------
@@ -237,13 +270,13 @@ def minhash_lsh_candidates(
     signature — see minhash_signatures — all bands carry the same
     value, so collision ⇔ equal positional min-hash).  Plan: project
     shingles → signature → explode bands → groupBy (band, band_hash) →
-    self-pair inside capped buckets.  (A codegen self-join pairing was
-    tried here in r6 and REVERTED: combined with a true
-    multi-permutation signature the raw pair stream is ~400M rows at
-    sf1.0, AQE coalesces the small bucket shuffle before the join
-    explodes it, and the vote aggregation falls back to
-    sort-and-spill.  The in-stage HOF explosion keeps pair generation
-    on the window's partitioning.)"""
+    self-pair inside capped buckets via :func:`capped_bucket_pairs`
+    (codegen self-join).  CAUTION for a future true multi-permutation
+    signature: at that candidate volume (~400M raw pairs at sf1.0) AQE
+    coalesces the small bucket shuffle before the join explodes it and
+    the vote aggregation falls back to sort-and-spill (measured >120 s
+    in r6) — re-tune banding or disable coalescing for that regime
+    before reusing this pairing."""
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm=num_perm, k=k,
@@ -265,9 +298,9 @@ def minhash_lsh_candidates(
         ])).alias("band_hash"),
     )
     # cap pathological buckets (all-identical spam): 1k ids → 500k pairs
-    buckets = _capped_id_buckets(banded, ["band_hash"], max_bucket=1000)
     return (
-        bucket_pairs(buckets).groupBy("id_a", "id_b")
+        capped_bucket_pairs(banded, ["band_hash"], max_bucket=1000)
+        .groupBy("id_a", "id_b")
         .agg((F.count(F.lit(1)) * bands).alias("band_votes"))
     )
 
@@ -597,8 +630,8 @@ def embedding_near_duplicates(
         "id",
         F.posexplode(_hp_buckets(F.col("v"))).alias("table_idx", "bucket"),
     )
-    cand = bucket_pairs(
-        _capped_id_buckets(sigs, ["table_idx", "bucket"], max_bucket=max_bucket)
+    cand = capped_bucket_pairs(
+        sigs, ["table_idx", "bucket"], max_bucket=max_bucket
     ).distinct()
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))

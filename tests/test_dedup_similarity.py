@@ -83,6 +83,35 @@ def test_minhash_hot_bucket_bounded(spark):
     assert max(max(r["id_a"], r["id_b"]) for r in pairs) < 1000
 
 
+def test_capped_bucket_pairs_equals_exploded_formulation(spark):
+    """r6 pins: the codegen self-join pairing (capped_bucket_pairs)
+    emits exactly the pair set of the historical collect_list +
+    nested-transform explode, on multi-column bucket keys and with the
+    cap binding (min-id survivors)."""
+    import random
+
+    from jesse_spark.operators.dedup import (_capped_id_buckets,
+                                             bucket_pairs,
+                                             capped_bucket_pairs)
+
+    rng = random.Random(7)
+    # 6 buckets across 2 key columns; one hot bucket of 40 ids (cap 10
+    # binds), singleton buckets (emit nothing), ids inserted unsorted
+    rows = [(t, b, i) for t in range(2) for b in range(3)
+            for i in rng.sample(range(1000), {0: 40, 1: 7, 2: 1}[b])]
+    rng.shuffle(rows)
+    tagged = spark.createDataFrame(
+        rows, "table_idx int, bucket int, id long")
+    want = sorted(map(tuple, bucket_pairs(_capped_id_buckets(
+        tagged, ["table_idx", "bucket"], max_bucket=10))
+        .select("id_a", "id_b").collect()))
+    have = sorted(map(tuple, capped_bucket_pairs(
+        tagged, ["table_idx", "bucket"], max_bucket=10)
+        .select("id_a", "id_b").collect()))
+    assert want == have and len(have) == 2 * (10 * 9 // 2 + 7 * 6 // 2)
+    assert all(a < b for a, b in have)
+
+
 def test_minhash_candidates_match_exploded_band_formulation(spark):
     """r6 pins: (1) minhash_signatures reproduces the historical
     repeated positional-min signature bit-for-bit (the pre-r6 2-arg

@@ -69,7 +69,13 @@ def test_embedding_near_dups_single_broadcast_tensor(spark, queries):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Window" in p, "capped bucket pre-agg (row_number) missing"
-    assert p.count("Exchange") <= 8
+    # late r6: pairing is the capped_bucket_pairs SMJ self-join; the
+    # static plan prints the shared capped subtree once per join side,
+    # raising the printed Exchange count 8 → 9, but at runtime AQE
+    # reuses the identical exchanges (2 ReusedExchange verified in the
+    # executed plan) so the executed shuffle count does not grow
+    assert "SortMergeJoin" in p, "pair loop must stay the codegen join"
+    assert p.count("Exchange") <= 9
 
 
 def test_minhash_near_dups_no_cartesian_capped_buckets(spark, queries):
@@ -77,7 +83,12 @@ def test_minhash_near_dups_no_cartesian_capped_buckets(spark, queries):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" in p, "capped bucket pre-agg (row_number) missing"
-    assert p.count("Exchange") <= 7
+    # late r6: capped_bucket_pairs SMJ self-join pairing — static plan
+    # duplicates the shared banded subtree per join side (7 → 9
+    # printed Exchanges); AQE reuses the identical exchanges at
+    # runtime (2 ReusedExchange verified in the executed plan)
+    assert "SortMergeJoin" in p, "pair loop must stay the codegen join"
+    assert p.count("Exchange") <= 9
 
 
 def test_simhash_near_dups_no_cartesian_capped_buckets(spark, queries):
