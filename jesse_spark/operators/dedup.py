@@ -78,6 +78,42 @@ def with_shingles(df: DataFrame, text_col: str, *, k: int = 5,
     return d.drop("_chars")
 
 
+def hashed_shingles(df: DataFrame, text_col: str, *, k: int = 5,
+                    mode: str = "char", out: str = "shh") -> DataFrame:
+    """Distinct xxhash64'd shingles as ``array<long>`` — the slices are
+    hashed DIRECTLY (``xxhash64(slice(parts, i, n))``) instead of built
+    into strings first, skipping the per-position concat_ws allocation
+    and distinct-ing longs instead of strings (~25% cheaper, measured
+    at sf1.0).  For consumers that only compare shingle SETS (jaccard —
+    a count ratio), this is equivalent to hashing the string form:
+    slice ↔ string is 1-1 (tokens contain no separator; char elements
+    are single chars), so set sizes and intersections match unless two
+    distinct shingles collide in 64 bits (~1e-16 per pair).  NOT for
+    minhash_signatures, whose ``hash(string, i)`` values are pinned
+    bit-for-bit.
+
+    Null/empty texts keep the string formulation's degenerate set: the
+    split is coalesced to ``[""]``, so every such doc yields the same
+    single-element set (mirroring concat_ws(NULL) → "")."""
+    if mode == "token":
+        n_gram = max(k // 2, 2)
+        d = df.withColumn("_parts", F.coalesce(
+            F.split(F.trim(normalized(F.col(text_col))), " "),
+            F.array(F.lit(""))))
+        cnt = F.greatest(F.size(F.col("_parts")) - (n_gram - 1), F.lit(1))
+        hashed = F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.xxhash64(F.slice(F.col("_parts"), i + 1, n_gram)))
+    else:
+        d = df.withColumn("_parts", F.coalesce(
+            F.split(normalized(F.col(text_col)), ""), F.array(F.lit(""))))
+        n = F.greatest(F.size(F.col("_parts")) - (k - 1), F.lit(1))
+        hashed = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.xxhash64(F.slice(F.col("_parts"), i, k)))
+    return d.withColumn(out, F.array_distinct(hashed)).drop("_parts")
+
+
 def token_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams."""
     toks = F.split(F.trim(normalized(text)), " ")
@@ -328,16 +364,18 @@ def jaccard_verify(
       unless two DISTINCT shingles of one pair collide in 64 bits
       (p ≈ n²/2·2⁻⁶⁴ ≈ 1e-16 per pair; output equality with the
       string-set formulation is verified against the DuckDB oracle on
-      every correctness SF and pinned old-vs-new at sf1.0)."""
+      every correctness SF and pinned old-vs-new at sf1.0).  Late r6:
+      the hashes come straight off the staged slices
+      (:func:`hashed_shingles` — no per-position string build), ~25%
+      off each side's projection; set equality with the string form is
+      pinned by test."""
     from jesse_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
-    sh = with_shingles(df.select(F.col(id_col).alias("id"), F.col(text_col)),
-                       text_col, k=k, mode=shingle_mode).select("id", "sh")
-    shh = sh.select(
-        "id",
-        F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
-        F.size("sh").alias("sz"))
+    shh = hashed_shingles(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col, k=k, mode=shingle_mode).select(
+        "id", F.col("shh"), F.size("shh").alias("sz"))
     a = shh.select(F.col("id").alias("id_a"), F.col("shh").alias("sh_a"),
                    F.col("sz").alias("_sz_a"))
     b = shh.select(F.col("id").alias("id_b"), F.col("shh").alias("sh_b"),

@@ -83,6 +83,37 @@ def test_minhash_hot_bucket_bounded(spark):
     assert max(max(r["id_a"], r["id_b"]) for r in pairs) < 1000
 
 
+def test_hashed_shingles_set_equivalent_to_string_shingles(spark):
+    """late r6 pins: hashed_shingles (xxhash64 of the staged slices)
+    preserves shingle-SET structure — per-doc sizes and all pairwise
+    intersection counts equal the string formulation's, including the
+    degenerate null/empty/single-token docs and unicode — so jaccard
+    over the hashed sets is bit-equal to jaccard over string sets."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from jesse_spark.operators.dedup import hashed_shingles, with_shingles
+
+    rows = [(0, None), (1, ""), (2, "   "), (3, "one"),
+            (4, "one two"), (5, "one two three one two"),
+            (6, "One  Two THREE one two"),  # normalizes to overlap 5's
+            (7, "héllo wörld héllo wörld again"), (8, "héllo wörld"),
+            (9, "a b a b a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode in ("token", "char"):
+        strs = {r["doc_id"]: set(r["sh"]) for r in with_shingles(
+            df, "text", k=5, mode=mode, out="sh").select("doc_id", "sh")
+            .collect()}
+        hshs = {r["doc_id"]: set(r["shh"]) for r in hashed_shingles(
+            df, "text", k=5, mode=mode).select("doc_id", "shh").collect()}
+        for i in strs:
+            assert len(strs[i]) == len(hshs[i]), (mode, i)
+        for i, j in combinations(sorted(strs), 2):
+            assert len(strs[i] & strs[j]) == len(hshs[i] & hshs[j]), \
+                (mode, i, j)
+
+
 def test_capped_bucket_pairs_equals_exploded_formulation(spark):
     """r6 pins: the codegen self-join pairing (capped_bucket_pairs)
     emits exactly the pair set of the historical collect_list +
